@@ -1,0 +1,173 @@
+"""Tests for uniform / occupancy-warped / background samplers and contraction."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from volsurfs_tpu.ops import occupancy as OG
+from volsurfs_tpu.ops import raycast as RC
+from volsurfs_tpu.ops import samplers as SP
+
+
+def straight_rays(R=4, origin_z=-2.0):
+    rays_o = jnp.tile(jnp.asarray([[0.0, 0.0, origin_z]], jnp.float32), (R, 1))
+    rays_d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32), (R, 1))
+    return rays_o, rays_d
+
+
+def test_uniform_fg_sampler_equispaced():
+    rays_o, rays_d = straight_rays(2)
+    t_near = jnp.asarray([[1.0], [0.5]], jnp.float32)
+    t_far = jnp.asarray([[3.0], [2.5]], jnp.float32)
+    rs = SP.compute_samples_fg(
+        rays_o, rays_d, t_near, t_far,
+        min_dist_between_samples=1e-4,
+        min_nr_samples_per_ray=1,
+        max_nr_samples_per_ray=32,
+        key=None,
+    )
+    z = np.asarray(rs.z)
+    mask = np.asarray(rs.mask)
+    assert mask.sum(axis=1).tolist() == [32, 32]
+    # equispaced with spacing dist/32, starting at t_near (no jitter)
+    np.testing.assert_allclose(z[0][mask[0]], 1.0 + np.arange(32) * 2.0 / 32, rtol=1e-5)
+    dt = np.asarray(rs.dt)
+    np.testing.assert_allclose(dt[0][mask[0]], 2.0 / 32, rtol=1e-4)
+
+
+def test_uniform_fg_sampler_jitter_preserves_spacing():
+    rays_o, rays_d = straight_rays(8)
+    t_near = jnp.zeros((8, 1))
+    t_far = jnp.ones((8, 1)) * 2.0
+    rs = SP.compute_samples_fg(
+        rays_o, rays_d, t_near, t_far, 1e-4, 1, 16, key=jax.random.PRNGKey(3)
+    )
+    z = np.asarray(rs.z)
+    mask = np.asarray(rs.mask)
+    for r in range(8):
+        zs = z[r][mask[r]]
+        if len(zs) > 2:
+            d = np.diff(zs)
+            np.testing.assert_allclose(d, d[0], rtol=1e-4)  # constant spacing
+        assert zs[0] >= 0.0 and zs[0] <= 2.0 / 16  # jittered start within one step
+
+
+def test_zero_extent_ray_gets_no_samples():
+    rays_o, rays_d = straight_rays(1)
+    rs = SP.compute_samples_fg(
+        rays_o, rays_d, jnp.ones((1, 1)), jnp.ones((1, 1)), 1e-4, 1, 16, key=None
+    )
+    assert not bool(np.asarray(rs.mask).any())
+
+
+def test_occupancy_warped_sampler_places_samples_in_occupied_space():
+    # occupy only a z-slab [0.2, 0.6] of a [-1,1]^3 grid
+    grid = OG.make_grid(64, 2.0)
+    centers = grid.voxel_centers().reshape(64, 64, 64, 3)
+    occ = (centers[..., 2] > 0.2) & (centers[..., 2] < 0.6)
+    grid = grid.replace(occupancy=occ)
+
+    rays_o, rays_d = straight_rays(4)
+    t_near = jnp.ones((4, 1)) * 1.0  # enters grid at z=-1
+    t_far = jnp.ones((4, 1)) * 3.0  # exits at z=1
+    rs = SP.compute_samples_fg_in_occupied_regions(
+        rays_o, rays_d, t_near, t_far, grid.lookup_fn(),
+        min_dist_between_samples=1e-4,
+        min_nr_samples_per_ray=1,
+        max_nr_samples_per_ray=32,
+        key=None,
+        nr_march_steps=256,
+    )
+    z = np.asarray(rs.z)
+    mask = np.asarray(rs.mask)
+    assert mask.sum() > 0
+    pts_z = z[mask] - 2.0  # world z = ray origin -2 + t
+    # all samples inside the occupied slab (±1 voxel of tolerance)
+    assert np.all(pts_z > 0.2 - 0.05), pts_z.min()
+    assert np.all(pts_z < 0.6 + 0.05), pts_z.max()
+    # equispaced inside occupied space
+    zs = z[0][mask[0]]
+    d = np.diff(zs)
+    np.testing.assert_allclose(d, d[0], atol=0.02)
+
+
+def test_occupancy_warped_sampler_empty_ray():
+    grid = OG.make_grid(32, 2.0)
+    grid = grid.replace(occupancy=jnp.zeros_like(grid.occupancy))
+    rays_o, rays_d = straight_rays(2)
+    rs = SP.compute_samples_fg_in_occupied_regions(
+        rays_o, rays_d, jnp.ones((2, 1)), 3.0 * jnp.ones((2, 1)),
+        grid.lookup_fn(), 1e-4, 1, 16, key=None,
+    )
+    assert not bool(np.asarray(rs.mask).any())
+
+
+def test_bg_sampler_inverse_depth():
+    rays_o, rays_d = straight_rays(1)
+    t_start = jnp.ones((1, 1)) * 2.0
+    rs = SP.compute_samples_bg(rays_o, rays_d, t_start, 8, t_far=100.0, key=None)
+    z = np.asarray(rs.z)[0]
+    # t_i = 1/(s_i + eps) - 1 + 2 with s from 1 to 0 by 1/7
+    s = 1.0 - np.arange(8) / 7.0
+    expect = np.clip(1.0 / (s + 1e-6) - 1.0 + 2.0, 2.0, 100.0)
+    np.testing.assert_allclose(z, expect, rtol=1e-4)
+    # last dt is the background sentinel
+    dt = np.asarray(rs.dt)[0]
+    assert dt[-1] == 1e10
+
+
+def test_contraction_roundtrip_and_identity_inside():
+    pts = jnp.asarray(
+        [[0.1, 0.0, 0.0], [0.0, 0.4, 0.0], [3.0, 0.0, 0.0], [0.0, 0.0, 50.0]],
+        jnp.float32,
+    )
+    c = SP.contract_points(pts)
+    cn = np.asarray(jnp.linalg.norm(c * 2.0, axis=-1))
+    # inside ball unchanged, outside mapped into norm<2
+    np.testing.assert_allclose(np.asarray(c[0]), np.asarray(pts[0]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(c[1]), np.asarray(pts[1]), rtol=1e-6)
+    assert np.all(cn[2:] < 2.0)
+    back = SP.uncontract_points(c)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(pts), rtol=1e-4)
+
+
+def test_bounding_sphere_intersection():
+    sphere = RC.make_bounding_sphere(1.0)
+    rays_o, rays_d = straight_rays(3)
+    miss_o = jnp.asarray([[5.0, 5.0, -2.0]], jnp.float32)
+    rays_o = jnp.concatenate([rays_o[:2], miss_o], axis=0)
+    is_hit, t_near, t_far, p_near, p_far = sphere.intersect(rays_o, rays_d)
+    assert bool(is_hit[0]) and bool(is_hit[1]) and not bool(is_hit[2])
+    np.testing.assert_allclose(float(t_near[0]), 1.0, rtol=1e-5)
+    np.testing.assert_allclose(float(t_far[0]), 3.0, rtol=1e-5)
+    # origin inside -> t_near clamped to 0
+    inside_o = jnp.asarray([[0.0, 0.0, 0.0]], jnp.float32)
+    is_hit2, tn2, tf2, _, _ = sphere.intersect(inside_o, rays_d[:1])
+    assert bool(is_hit2[0]) and float(tn2[0]) == 0.0
+    np.testing.assert_allclose(float(tf2[0]), 1.0, rtol=1e-5)
+
+
+def test_bounding_box_intersection():
+    box = RC.make_bounding_box(2.0)
+    rays_o, rays_d = straight_rays(1)
+    is_hit, t_near, t_far, _, _ = box.intersect(rays_o, rays_d)
+    assert bool(is_hit[0])
+    np.testing.assert_allclose(float(t_near[0]), 1.0, rtol=1e-5)
+    np.testing.assert_allclose(float(t_far[0]), 3.0, rtol=1e-5)
+
+
+def test_occupancy_grid_updates():
+    grid = OG.make_grid(16, 2.0, sphere_roi_radius=1.0)
+    pts = grid.get_grid_samples()
+    # |sdf| of a sphere of radius 0.5
+    sdf = jnp.abs(jnp.linalg.norm(pts, axis=-1) - 0.5)
+    grid = grid.update_values(sdf, decay=0.0)
+    grid = grid.update_occupancy_with_sdf(logistic_beta=512.0)
+    occ = np.asarray(grid.occupancy & grid.roi)
+    centers = np.asarray(grid.voxel_centers()).reshape(16, 16, 16, 3)
+    r = np.linalg.norm(centers, axis=-1)
+    # voxels near the surface occupied; far voxels not
+    near = np.abs(r - 0.5) < 0.05
+    far = np.abs(r - 0.5) > 0.4
+    assert occ[near].all()
+    assert not occ[far & np.asarray(grid.roi)].any()

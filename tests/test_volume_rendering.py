@@ -1,0 +1,222 @@
+"""Unit tests for the masked volume-rendering ops against naive references.
+
+Strategy (SURVEY.md §4): every dense masked op is checked against a
+straightforward per-ray Python/numpy loop implementing the packed-CSR
+semantics of the reference CUDA kernels.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from volsurfs_tpu.ops import samples as S
+from volsurfs_tpu.ops import volume_rendering as VR
+
+
+def make_samples(z_lists, t_far=4.0):
+    """Build a RaySamples from a list of per-ray z lists."""
+    R = len(z_lists)
+    Smax = max(len(zs) for zs in z_lists)
+    z = np.full((R, Smax), S.INVALID_Z, np.float32)
+    mask = np.zeros((R, Smax), bool)
+    for r, zs in enumerate(z_lists):
+        z[r, : len(zs)] = zs
+        mask[r, : len(zs)] = True
+    rs = S.RaySamples(
+        z=jnp.asarray(z),
+        dt=jnp.zeros((R, Smax), jnp.float32),
+        mask=jnp.asarray(mask),
+        rays_o=jnp.zeros((R, 3), jnp.float32),
+        rays_d=jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32), (R, 1)),
+        t_near=jnp.zeros((R, 1), jnp.float32),
+        t_far=jnp.full((R, 1), t_far, jnp.float32),
+        max_dt=jnp.full((R, 1), 10.0, jnp.float32),
+    )
+    return S.update_dt(rs)
+
+
+def test_update_dt_matches_packed_semantics():
+    rs = make_samples([[0.0, 0.5, 1.2], [2.0]], t_far=4.0)
+    dt = np.asarray(rs.dt)
+    # interior: z_{i+1} - z_i; last valid: t_far - z_last
+    np.testing.assert_allclose(dt[0, :3], [0.5, 0.7, 4.0 - 1.2], rtol=1e-6)
+    np.testing.assert_allclose(dt[1, 0], 4.0 - 2.0, rtol=1e-6)
+    assert dt[1, 1] == 0.0  # invalid slot
+
+
+def test_update_dt_clamps_to_max_dt():
+    rs = make_samples([[0.0, 0.5, 3.0]], t_far=10.0)
+    rs = rs.replace(max_dt=jnp.full((1, 1), 1.0, jnp.float32))
+    rs = S.update_dt(rs)
+    dt = np.asarray(rs.dt)
+    np.testing.assert_allclose(dt[0], [0.5, 1.0, 1.0], rtol=1e-6)
+
+
+def test_transmittance_matches_serial_cumprod():
+    rs = make_samples([[0.1, 0.2, 0.3, 0.4], [0.5, 0.9], [1.0]])
+    alpha = np.array(
+        [[0.1, 0.5, 0.9, 0.2], [0.3, 0.7, 0.0, 0.0], [0.4, 0.0, 0.0, 0.0]],
+        np.float32,
+    )
+    oma = 1.0 - alpha + 1e-6
+    T, bg_T = VR.cumprod_one_minus_alpha_to_transmittance(
+        jnp.asarray(oma), rs.mask
+    )
+    T = np.asarray(T)
+    bg_T = np.asarray(bg_T)
+
+    # serial per-ray reference (VolumeRenderingGPU.cuh:28-79)
+    counts = [4, 2, 1]
+    for r, n in enumerate(counts):
+        t = 1.0
+        for i in range(n):
+            assert abs(T[r, i] - t) < 1e-6, (r, i)
+            if i < n - 1:
+                t *= oma[r, i]
+        assert abs(bg_T[r, 0] - t) < 1e-6
+
+
+def test_integrate_and_sum_over_rays():
+    rs = make_samples([[0.1, 0.2], [0.5, 0.9, 1.3]])
+    vals = jnp.arange(2 * 3 * 3, dtype=jnp.float32).reshape(2, 3, 3)
+    w = jnp.asarray([[0.5, 0.25, 99.0], [0.1, 0.2, 0.3]], jnp.float32)
+    out = np.asarray(VR.integrate(vals, w, rs.mask))
+    expect0 = 0.5 * np.arange(0, 3) + 0.25 * np.arange(3, 6)  # 3rd masked out
+    np.testing.assert_allclose(out[0], expect0, rtol=1e-6)
+
+    per_ray, per_sample = VR.sum_over_rays(w, rs.mask)
+    np.testing.assert_allclose(np.asarray(per_ray)[0, 0], 0.75, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(per_sample)[0], [0.75] * 3, rtol=1e-6)
+
+
+def test_compute_cdf_exclusive_and_snapped():
+    rs = make_samples([[0.1, 0.2, 0.3, 0.4]])
+    w = jnp.asarray([[0.25, 0.25, 0.25, 0.25]], jnp.float32)
+    cdf = np.asarray(VR.compute_cdf(w, rs.mask))
+    # exclusive cumsum with the last entry snapped to 1.0 (sum within 1e-3 of 1)
+    np.testing.assert_allclose(cdf[0], [0.0, 0.25, 0.5, 1.0], rtol=1e-6)
+
+    w2 = jnp.asarray([[0.1, 0.1, 0.1, 0.1]], jnp.float32)
+    cdf2 = np.asarray(VR.compute_cdf(w2, rs.mask))
+    np.testing.assert_allclose(cdf2[0], [0.0, 0.1, 0.2, 0.3], rtol=1e-6)
+
+
+def test_importance_sample_deterministic_midpoints():
+    # one ray, uniform weights -> importance samples equispaced in z
+    rs = make_samples([list(np.linspace(0.0, 1.0, 11))], t_far=2.0)
+    w = jnp.where(rs.mask, 0.1, 0.0)
+    cdf = VR.compute_cdf(w, rs.mask)
+    imp = VR.importance_sample(rs, cdf, 4, key=None)
+    z = np.asarray(imp.z)[0]
+    # u = .2,.4,.6,.8 over an exclusive cdf that reaches 1.0 at the last entry
+    np.testing.assert_allclose(z, [0.2, 0.4, 0.6, 0.8], atol=1e-3)
+    assert np.asarray(imp.mask).all()
+
+
+def test_importance_sample_concentrates_on_peak():
+    zs = list(np.linspace(0.0, 1.0, 33))
+    rs = make_samples([zs], t_far=2.0)
+    w = np.zeros((1, 33), np.float32)
+    w[0, 16] = 1.0  # all mass at z=0.5
+    cdf = VR.compute_cdf(jnp.asarray(w), rs.mask)
+    imp = VR.importance_sample(rs, cdf, 8, key=jax.random.PRNGKey(0))
+    z = np.asarray(imp.z)[0]
+    assert np.all(np.abs(z - 0.5) < 0.05), z
+
+
+def test_median_depth():
+    rs = make_samples([[0.1, 0.2, 0.3, 0.4], [1.0, 2.0]])
+    w = jnp.asarray([[0.1, 0.2, 0.3, 0.4], [0.0, 0.1, 0.0, 0.0]], jnp.float32)
+    d = np.asarray(VR.median_depth(rs, w))
+    assert abs(d[0, 0] - 0.3) < 1e-6  # cumsum 0.1,0.3,0.6 -> crosses 0.5 at idx 2
+    assert abs(d[1, 0] - 2.0) < 1e-6  # never reaches 0.5 -> last valid z
+
+
+def test_sdf2alpha_matches_formula():
+    rs = make_samples([[0.0, 0.1, 0.2, 0.3]], t_far=1.0)
+    sdf = jnp.asarray([[0.05, 0.01, -0.03, -0.07]], jnp.float32)
+    beta = 64.0
+    alpha = np.asarray(VR.sdf2alpha(rs, sdf, beta))[0]
+    sdf_np = np.asarray(sdf)[0]
+    dt = np.asarray(rs.dt)[0]
+
+    def sigmoid(x):
+        return 1.0 / (1.0 + np.exp(-x))
+
+    for i in range(3):
+        mid = 0.5 * (sdf_np[i] + sdf_np[i + 1])
+        cos = np.clip((sdf_np[i + 1] - sdf_np[i]) / (dt[i] + 1e-6), -1e3, 0.0)
+        prev_cdf = sigmoid((mid - cos * dt[i] * 0.5) * beta)
+        next_cdf = sigmoid((mid + cos * dt[i] * 0.5) * beta)
+        expect = (prev_cdf - next_cdf + 1e-6) / (prev_cdf + 1e-6)
+        assert abs(alpha[i] - expect) < 1e-5
+    assert alpha[3] == 0.0  # last valid sample gets zero
+
+
+def test_neus_alpha_opaque_wall_gives_weights_summing_to_one():
+    # SDF of a plane at z=1 crossed head-on: weights should sum to ~1
+    zs = list(np.linspace(0.5, 1.5, 64))
+    rs = make_samples([zs], t_far=2.0)
+    sdf = 1.0 - rs.z  # positive before the wall, negative after
+    grads = jnp.tile(
+        jnp.asarray([0.0, 0.0, -1.0], jnp.float32), (1, 64, 1)
+    )
+    alpha = VR.neus_alpha_from_sdf_gradients(rs, sdf, grads, 1.0, 512.0)
+    w, T, bg_T = VR.neus_weights(rs, alpha)
+    w_sum = float(jnp.sum(jnp.where(rs.mask, w, 0.0)))
+    assert abs(w_sum - 1.0) < 1e-2
+    assert float(bg_T[0, 0]) < 1e-2
+
+
+def test_nerf_weights_sum_bounded_and_grad_flows():
+    zs = list(np.linspace(0.0, 1.0, 32))
+    rs = make_samples([zs], t_far=2.0)
+
+    def loss_fn(density):
+        w, bg_T = VR.nerf_weights(rs, density)
+        return jnp.sum(w), bg_T
+
+    density = jnp.full((1, 32), 5.0, jnp.float32)
+    (w_sum, bg_T), grad = jax.value_and_grad(loss_fn, has_aux=True)(density)
+    assert 0.0 < float(w_sum) <= 1.0 + 1e-4
+    assert np.isfinite(np.asarray(grad)).all()
+    # transmittance consistency: w_sum + bg_T*≈last alpha relation holds loosely
+    assert float(bg_T[0, 0]) < 1.0
+
+
+def test_combine_merges_sorts_and_dedups():
+    a = make_samples([[0.1, 0.3, 0.5]], t_far=1.0)
+    b = make_samples([[0.2, 0.30001, 0.6]], t_far=1.0)
+    va = jnp.asarray(np.arange(3, dtype=np.float32)).reshape(1, 3, 1)
+    vb = jnp.asarray(10 + np.arange(3, dtype=np.float32)).reshape(1, 3, 1)
+    merged, vals = S.combine(a, b, 1e-3, va, vb)
+    z = np.asarray(merged.z)[0]
+    m = np.asarray(merged.mask)[0]
+    kept = z[m]
+    np.testing.assert_allclose(kept, [0.1, 0.2, 0.3, 0.5, 0.6], atol=1e-6)
+    v = np.asarray(vals)[0][m, 0]
+    np.testing.assert_allclose(v, [0.0, 10.0, 1.0, 2.0, 12.0], atol=1e-6)
+    # dt recomputed over merged samples
+    dt = np.asarray(merged.dt)[0][m]
+    np.testing.assert_allclose(dt[:-1], np.diff(kept), atol=1e-5)
+
+
+def test_gradients_through_full_neus_chain():
+    """loss -> integrate -> weights -> alpha -> sdf must be differentiable
+    (the reference needed hand-written CUDA backwards for this chain)."""
+    zs = list(np.linspace(0.2, 1.8, 48))
+    rs = make_samples([zs] * 4, t_far=2.0)
+
+    def loss_fn(sdf_offset):
+        sdf = (1.0 - rs.z) + sdf_offset
+        grads = jnp.tile(jnp.asarray([0.0, 0.0, -1.0], jnp.float32), (4, 48, 1))
+        alpha = VR.neus_alpha_from_sdf_gradients(rs, sdf, grads, 0.5, 128.0)
+        w, T, bg_T = VR.neus_weights(rs, alpha)
+        rgb = jnp.ones((4, 48, 3)) * 0.7
+        out = VR.integrate(rgb, w, rs.mask)
+        return jnp.mean((out - 0.5) ** 2)
+
+    g = jax.grad(loss_fn)(jnp.zeros((4, 48)))
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.sum(jnp.abs(g))) > 0.0
