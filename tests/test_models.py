@@ -1,0 +1,190 @@
+"""Tests for encodings, MLPs and field models."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from volsurfs_tpu.models import encodings as E
+from volsurfs_tpu.models import field_utils as FU
+from volsurfs_tpu.models import fields as F
+from volsurfs_tpu.models.mlp import MLP, LipshitzMLP
+
+
+def test_frequency_and_identity_encoders():
+    pts = jnp.asarray([[0.1, -0.2, 0.3]], jnp.float32)
+    enc = E.FrequencyEncoder(multires=6)
+    out, _ = enc.apply({}, pts)
+    assert out.shape == (1, enc.output_dim) == (1, 3 + 3 * 6 * 2)
+    idn = E.IdentityEncoder()
+    out2, _ = idn.apply({}, pts)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(pts))
+
+
+def _check_hash_encoder(enc_cls, **kw):
+    enc = enc_cls(nr_levels=8, log2_hashmap_size=12, **kw)
+    pts = jax.random.uniform(jax.random.PRNGKey(0), (64, 3), minval=-0.9, maxval=0.9)
+    params = enc.init(jax.random.PRNGKey(1), pts)
+    out, oob = enc.apply(params, pts)
+    assert out.shape == (64, enc.output_dim)
+    assert not bool(oob.any())
+
+    # continuity: nearby points give nearby features
+    delta = 1e-5
+    out2, _ = enc.apply(params, pts + delta)
+    assert float(jnp.max(jnp.abs(out2 - out))) < 1e-2
+
+    # out-of-bounds flagged
+    _, oob2 = enc.apply(params, pts + 10.0)
+    assert bool(oob2.all())
+
+    # gradients flow into the table
+    def loss(p):
+        o, _ = enc.apply(p, pts)
+        return jnp.sum(o**2)
+
+    g = jax.grad(loss)(params)
+    table_grad = jax.tree_util.tree_leaves(g)[0]
+    assert float(jnp.sum(jnp.abs(table_grad))) > 0.0
+
+    # c2f: early iters silence fine levels
+    enc_c2f = enc_cls(nr_levels=8, log2_hashmap_size=12, nr_iters_for_c2f=1000, **kw)
+    params2 = enc_c2f.init(jax.random.PRNGKey(1), pts, 0)
+    early, _ = enc_c2f.apply(params2, pts, 0)
+    late, _ = enc_c2f.apply(params2, pts, 1000)
+    # fine-level features (just before the concat of points) are zeroed early
+    nf = 8 * 2
+    assert float(jnp.abs(early[:, nf - 4 : nf]).max()) < 1e-12
+    assert float(jnp.abs(late[:, nf - 4 : nf]).max()) > 0.0
+
+
+def test_hashgrid_encoder():
+    _check_hash_encoder(E.HashGridEncoder)
+
+
+def test_permuto_encoder():
+    _check_hash_encoder(E.PermutoEncoder)
+
+
+def test_permuto_barycentric_weights_sum_to_one():
+    # internal consistency: a constant-table permuto encoding returns the
+    # constant (weights sum to 1 over simplex corners)
+    enc = E.PermutoEncoder(
+        nr_levels=4, log2_hashmap_size=10, concat_points=False, remove_last_element=False
+    )
+    pts = jax.random.uniform(jax.random.PRNGKey(2), (32, 3), minval=-0.9, maxval=0.9)
+    params = enc.init(jax.random.PRNGKey(1), pts)
+    const = jax.tree_util.tree_map(lambda t: jnp.ones_like(t) * 0.5, params)
+    out, _ = enc.apply(const, pts)
+    np.testing.assert_allclose(np.asarray(out), 0.5, atol=1e-5)
+
+
+def test_mlp_shapes_and_gelu():
+    mlp = MLP((32, 32, 4), last_layer_linear=True)
+    x = jnp.ones((8, 16))
+    params = mlp.init(jax.random.PRNGKey(0), x)
+    y = mlp.apply(params, x)
+    assert y.shape == (8, 4)
+    # linear last layer -> outputs can be negative
+    assert float(y.min()) < 0.0 or float(y.max()) > 0.0
+
+
+def test_lipshitz_mlp_bound_and_forward():
+    mlp = LipshitzMLP((16, 16, 3), last_layer_linear=True)
+    x = jnp.ones((4, 8))
+    params = mlp.init(jax.random.PRNGKey(0), x)
+    y = mlp.apply(params, x)
+    assert y.shape == (4, 3)
+    bound = LipshitzMLP.lipshitz_bound_full(params["params"])
+    assert float(bound) > 0.0
+    # shrinking every c must shrink the network output magnitude
+    small = jax.tree_util.tree_map(
+        lambda v: v * 0.0 - 5.0 if v.shape == (1,) else v, params
+    )
+    y2 = mlp.apply(small, x)
+    assert float(jnp.abs(y2).max()) < float(jnp.abs(y).max()) + 1e-3
+
+
+def test_sdf_field_and_gradients():
+    sdf = F.SDF(mlp_layers_dims=(32, 32), encoding_type="gridhash", geom_feat_size=8)
+    pts = jax.random.uniform(jax.random.PRNGKey(0), (32, 3), minval=-0.5, maxval=0.5)
+    params = sdf.init(jax.random.PRNGKey(1), pts)
+    val, feat = sdf.apply(params, pts)
+    assert val.shape == (32, 1) and feat.shape == (32, 8)
+
+    grads = FU.get_field_gradients(lambda p: sdf.apply(params, p), pts)
+    assert grads.shape == (32, 3)
+
+    # FD operator against an analytic field (hash encodings are piecewise
+    # linear, so FD/AD only agree for smooth fields)
+    def analytic(p):
+        return jnp.linalg.norm(p, axis=-1, keepdims=True) - 0.3
+
+    g_fd = FU.get_field_gradients(analytic, pts)
+    g_ad = FU.get_field_gradients_autodiff(analytic, pts)
+    np.testing.assert_allclose(np.asarray(g_fd), np.asarray(g_ad), atol=5e-3)
+
+
+def test_offsets_sdf_ordering():
+    model = F.OffsetsSDF(
+        mlp_layers_dims=(32, 32),
+        encoding_type="gridhash",
+        nr_inner_surfs=2,
+        nr_outer_surfs=2,
+        geom_feat_size=8,
+    )
+    pts = jax.random.uniform(jax.random.PRNGKey(0), (16, 3), minval=-0.5, maxval=0.5)
+    params = model.init(jax.random.PRNGKey(1), pts)
+    sdfs, offsets, feats = model.apply(params, pts)
+    assert sdfs.shape == (16, 5, 1)
+    s = np.asarray(sdfs)[..., 0]
+    # inner sdfs (idx < main) are strictly larger than main; outer strictly smaller
+    main = s[:, 2]
+    assert np.all(s[:, 0] > s[:, 1]) and np.all(s[:, 1] > main)
+    assert np.all(main > s[:, 3]) and np.all(s[:, 3] > s[:, 4])
+
+    # freezing main surf stops gradients into mlp_sdf
+    def loss(p):
+        sdfs, _, _ = model.apply(p, pts, None, False, True)
+        return jnp.sum(sdfs**2)
+
+    g = jax.grad(loss)(params)
+    g_main = g["params"]["mlp_sdf"]
+    assert all(
+        float(jnp.abs(leaf).sum()) == 0.0 for leaf in jax.tree_util.tree_leaves(g_main)
+    )
+
+
+def test_rgb_and_colorsh_fields():
+    pts = jax.random.uniform(jax.random.PRNGKey(0), (16, 3), minval=-0.5, maxval=0.5)
+    dirs = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (16, 1))
+    normals = jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]]), (16, 1))
+    feat = jnp.ones((16, 8))
+
+    rgb = F.RGB(
+        mlp_layers_dims=(32, 32),
+        pos_encoder_type="gridhash",
+        in_geom_feat_size=8,
+    )
+    params = rgb.init(jax.random.PRNGKey(1), pts, dirs, normals, feat)
+    out = rgb.apply(params, pts, dirs, normals, feat)
+    assert out.shape == (16, 3)
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+
+    csh = F.ColorSH(
+        mlp_layers_dims=(32, 32), pos_encoder_type="gridhash", in_geom_feat_size=8
+    )
+    params2 = csh.init(jax.random.PRNGKey(1), pts, dirs, normals, feat)
+    out2 = csh.apply(params2, pts, dirs, normals, feat)
+    assert out2.shape == (16, 3)
+    coeffs = csh.apply(params2, pts, None, normals, feat)
+    assert coeffs.shape == (16, 3 * 16)  # raw coeffs for baking (deg 3)
+
+
+def test_nerfhash_bg_field():
+    bg = F.NerfHash(pos_encoder_type="gridhash")
+    pts = jax.random.uniform(jax.random.PRNGKey(0), (16, 3), minval=-0.5, maxval=0.5)
+    dirs = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (16, 1))
+    params = bg.init(jax.random.PRNGKey(1), pts, dirs)
+    rgb, density = bg.apply(params, pts, dirs)
+    assert rgb.shape == (16, 3) and density.shape == (16, 1)
+    assert float(density.min()) >= 0.0

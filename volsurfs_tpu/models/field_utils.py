@@ -1,0 +1,72 @@
+"""Field gradients (finite difference) and SDF curvature.
+
+Reference: volsurfs_py/utils/fields_utils.py:6-166. The reference stacks the
+4 shifted evaluations into one batch for efficiency; under jit that fusion is
+automatic, so we evaluate the 4 offsets in one vectorized call the same way.
+An autodiff variant is provided as the TPU-native alternative.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def get_field_gradients(field_fn, points, eps: float = 1e-4):
+    """Forward-difference spatial gradients of a scalar field.
+
+    Args:
+      field_fn: [..., 3] -> [..., 1] (or tuple whose first element is that).
+      points: [..., 3]
+    Returns: [..., 3] gradients.
+    """
+    offsets = jnp.asarray(
+        [[0.0, 0.0, 0.0], [eps, 0.0, 0.0], [0.0, eps, 0.0], [0.0, 0.0, eps]],
+        points.dtype,
+    )
+    stacked = points[None] + offsets[:, None, :].reshape(
+        (4,) + (1,) * (points.ndim - 1) + (3,)
+    )
+    res = field_fn(stacked)
+    sdf = res[0] if isinstance(res, tuple) else res
+    if sdf.shape[-1] > 1:
+        sdf = sdf[..., 0:1]
+    grad = (sdf[1:] - sdf[0:1]) / eps
+    return jnp.moveaxis(grad, 0, -1)[..., 0, :]
+
+
+def get_field_gradients_autodiff(field_fn, points):
+    """jax.grad variant (exact gradients; the reference only has the
+    finite-difference path, fields_utils.py:55-70 is commented out)."""
+
+    def scalar_fn(p):
+        res = field_fn(p[None])
+        sdf = res[0] if isinstance(res, tuple) else res
+        return sdf.reshape(-1)[0]
+
+    flat = points.reshape(-1, 3)
+    grads = jax.vmap(jax.grad(scalar_fn))(flat)
+    return grads.reshape(points.shape)
+
+
+def get_sdf_curvature(field_fn, points, sdf_gradients, key, eps: float = 1e-4):
+    """Curvature proxy: angle between the normal at a point and the normal at
+    a point shifted along a random tangent direction, mapped to [0, 1]
+    (reference volsurfs_py/utils/fields_utils.py:83-166).
+    """
+    normals = sdf_gradients / jnp.clip(
+        jnp.linalg.norm(sdf_gradients, axis=-1, keepdims=True), 1e-12
+    )
+    rand_dirs = jax.random.normal(key, points.shape)
+    rand_dirs = rand_dirs / jnp.clip(
+        jnp.linalg.norm(rand_dirs, axis=-1, keepdims=True), 1e-12
+    )
+    tangents = jnp.cross(normals, rand_dirs)
+    shifted = points + tangents * eps
+    grads_shifted = get_field_gradients(field_fn, shifted, eps)
+    normals_shifted = grads_shifted / jnp.clip(
+        jnp.linalg.norm(grads_shifted, axis=-1, keepdims=True), 1e-12
+    )
+    dot = jnp.sum(normals * normals_shifted, axis=-1, keepdims=True)
+    angle = jnp.arccos(jnp.clip(dot, -1.0 + 1e-6, 1.0 - 1e-6))
+    return angle / jnp.pi

@@ -1,0 +1,80 @@
+"""MLP building blocks: plain GELU MLP and Lipschitz-bounded MLP.
+
+Reference: volsurfs_py/models/mlp.py:8-69 (Linear+GELU stack, optional linear
+last layer) and volsurfs_py/models/lipshitz_mlp.py:7-81 (per-layer learnable
+Lipschitz bound c_i, rows rescaled by min(1, softplus(c_i)/sum|w_row|),
+following arxiv 2202.08345). Widths are small (32-128), which maps cleanly
+onto the MXU as [batch, width] x [width, width] matmuls; batch is the ray x
+sample axis and is large.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class MLP(nn.Module):
+    """Linear+GELU stack; last layer optionally linear."""
+
+    layer_dims: Sequence[int]  # output dims per layer (reference semantics)
+    last_layer_linear: bool = True
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        n = len(self.layer_dims)
+        for i, dim in enumerate(self.layer_dims):
+            x = nn.Dense(dim, use_bias=self.use_bias, name=f"dense_{i}")(x)
+            is_last = i == n - 1
+            if not (is_last and self.last_layer_linear):
+                x = nn.gelu(x)
+        return x
+
+
+class LipshitzMLP(nn.Module):
+    """MLP whose per-layer Lipschitz constant is learnable and penalized.
+
+    forward: w_row <- w_row * min(1, softplus(c)/sum|w_row|) before each
+    matmul; ``lipshitz_bound_full`` = prod_i softplus(c_i) is the loss term
+    (reference models/lipshitz_mlp.py:22-46).
+    """
+
+    layer_dims: Sequence[int]
+    last_layer_linear: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        n = len(self.layer_dims)
+        for i, dim in enumerate(self.layer_dims):
+            in_dim = x.shape[-1]
+            w = self.param(
+                f"w_{i}", nn.initializers.lecun_uniform(), (in_dim, dim)
+            )
+            b = self.param(f"b_{i}", nn.initializers.zeros, (dim,))
+            c = self.param(
+                f"c_{i}",
+                lambda key, shape, w=w: jnp.max(jnp.sum(jnp.abs(w), axis=0))
+                * 2.0
+                * jnp.ones(shape),
+                (1,),
+            )
+            absrowsum = jnp.sum(jnp.abs(w), axis=0)  # per-output-row in torch layout
+            scale = jnp.clip(jax.nn.softplus(c) / absrowsum, a_max=1.0)
+            x = x @ (w * scale[None, :]) + b
+            is_last = i == n - 1
+            if not (is_last and self.last_layer_linear):
+                x = nn.gelu(x)
+        return x
+
+    @staticmethod
+    def lipshitz_bound_full(params) -> jnp.ndarray:
+        """prod softplus(c_i) over the layers of a LipshitzMLP param subtree."""
+        bound = jnp.asarray(1.0)
+        for name, value in params.items():
+            if name.startswith("c_"):
+                bound = bound * jax.nn.softplus(value[0])
+        return bound
