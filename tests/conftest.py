@@ -3,11 +3,13 @@
 The reference system is CUDA-only and untestable off-GPU; this framework is
 XLA-portable by design, so the whole test suite runs on CPU with 8 virtual
 devices to exercise the multi-chip sharding paths.
+
+Note: the axon TPU plugin ignores the JAX_PLATFORMS env var, so the platform
+must be forced through jax.config before any computation.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,4 +18,5 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

@@ -1,0 +1,90 @@
+"""End-to-end surf training smoke test (tiny synthetic scene, CPU).
+
+SURVEY.md §4 strategy (c): tiny-scene convergence — train briefly, assert
+the losses decrease and rendering works. Small sizes keep compile time sane.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from volsurfs_tpu.datasets.mvdataset import MVDataset
+from volsurfs_tpu.methods.surf import Surf
+from volsurfs_tpu.ops.raycast import make_bounding_sphere
+from volsurfs_tpu.params.hyper_params import HyperParamsSuRF
+from volsurfs_tpu.training import checkpoints
+from volsurfs_tpu.training.trainer import Trainer
+
+
+@pytest.fixture(scope="module")
+def setup():
+    hp = HyperParamsSuRF(
+        training_rays_batch_size=64,
+        max_nr_samples_per_ray=16,
+        max_nr_imp_samples_per_ray=8,
+        do_importance_sampling=True,
+        init_phase_end_iter=15,
+        first_phase_end_iter=100,
+        training_end_iter=40,
+        nr_warmup_iters=5,
+        lr=3e-3,
+        lr_milestones=[10000],
+        eikonal_weight=0.04,
+        offsurface_weight=1e-4,
+        curvature_weight=0.0,
+        geom_feat_size=16,
+        sdf_nr_iters_for_c2f=0,
+        sdf_encoding_type="gridhash",
+        rgb_pos_encoder_type="gridhash",
+        nr_samples_bg=8,
+    )
+    mv = MVDataset(
+        "synthetic", "sphere", "",
+        config={"width": 32, "height": 32, "nr_train_cameras": 6, "nr_test_cameras": 2},
+    )
+    bound = make_bounding_sphere(1.0)
+    method = Surf(
+        hp, bound, bg_color="white", init_sphere_radius=0.4,
+        occupancy_res=24, key=jax.random.PRNGKey(0),
+    )
+    return hp, mv, method
+
+
+def test_surf_trains_and_renders(setup, tmp_path_factory):
+    hp, mv, method = setup
+    run_dir = str(tmp_path_factory.mktemp("surf_run"))
+    trainer = Trainer(method, mv, run_dir, log_every=10)
+    state = method.init_state()
+
+    sphere_losses, data_losses = [], []
+
+    def cb(it, state, losses):
+        (sphere_losses if it <= hp.init_phase_end_iter else data_losses).append(
+            float(losses["loss"])
+        )
+
+    state = trainer.train(state, callback=cb)
+
+    # sphere init converges toward the analytic sphere
+    assert sphere_losses[-1] < sphere_losses[0]
+    assert np.isfinite(sphere_losses).all() and np.isfinite(data_losses).all()
+
+    # rendering works and produces an in-range image
+    out = trainer.render_camera(state, mv["test"].cameras[0])
+    assert out["rgb"].shape == (32, 32, 3)
+    assert np.isfinite(out["rgb"]).all()
+
+    # eval produces metrics
+    means = trainer.eval_split(state, "test", max_cameras=1)
+    assert np.isfinite(means["psnr"])
+
+    # checkpoint round-trip restores state exactly
+    ckpt_dir = f"{run_dir}/checkpoints"
+    template = method.init_state()
+    restored = checkpoints.load_checkpoint(ckpt_dir, template)
+    assert int(restored.iter_nr) == int(state.iter_nr)
+    for name in state.params:
+        a = jax.tree_util.tree_leaves(state.params[name])
+        b = jax.tree_util.tree_leaves(restored.params[name])
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

@@ -307,39 +307,29 @@ class PermutoEncoder(nn.Module):
         rem0 = jnp.where(elevated - down < up - elevated, down, up)
         sum_rem = jnp.sum(rem0, axis=-1, keepdims=True) / (d + 1)
 
-        # rank the residuals to identify the simplex
+        # rank the residuals to identify the simplex: rank_i = number of
+        # residuals greater than diff_i (largest -> rank 0). Double argsort
+        # instead of a pairwise [.., d+1, d+1] comparison tensor (4x memory).
         diff = elevated - rem0
-        rank = jnp.sum(
-            (diff[..., :, None] < diff[..., None, :])
-            | (
-                (diff[..., :, None] == diff[..., None, :])
-                & (
-                    jnp.arange(d + 1)[None, None, :, None]
-                    > jnp.arange(d + 1)[None, None, None, :]
-                )
-            ),
-            axis=-1,
-        ).astype(jnp.int32)
+        order = jnp.argsort(-diff, axis=-1)
+        rank = jnp.argsort(order, axis=-1).astype(jnp.int32)
         rank = rank + sum_rem.astype(jnp.int32)
         rem0 = jnp.where(rank < 0, rem0 + (d + 1), rem0)
         rank = jnp.where(rank < 0, rank + (d + 1), rank)
         rem0 = jnp.where(rank > d, rem0 - (d + 1), rem0)
         rank = jnp.where(rank > d, rank - (d + 1), rank)
 
-        # barycentric coordinates
+        # barycentric coordinates: b[d-rank_i] += diff_i, b[d+1-rank_i] -= diff_i,
+        # b[0] += 1 + b[d+1]. Computed as fixed-size masked sums instead of a
+        # scatter (TPU scatters serialize; this is pure VPU work).
         diff = (elevated - rem0) / (d + 1)
-        bary = jnp.zeros((N, L, d + 2), jnp.float32)
-        idx_b = d - rank  # [N, L, d+1]
-        bary = bary.at[
-            jnp.arange(N)[:, None, None],
-            jnp.arange(L)[None, :, None],
-            idx_b,
-        ].add(diff)
-        bary = bary.at[
-            jnp.arange(N)[:, None, None],
-            jnp.arange(L)[None, :, None],
-            idx_b + 1,
-        ].add(-diff)
+        idx_b = d - rank  # [N, L, d+1] in [0, d]
+        bary_slots = []
+        for slot in range(d + 2):
+            pos = jnp.sum(jnp.where(idx_b == slot, diff, 0.0), axis=-1)
+            neg = jnp.sum(jnp.where(idx_b + 1 == slot, diff, 0.0), axis=-1)
+            bary_slots.append(pos - neg)
+        bary = jnp.stack(bary_slots, axis=-1)  # [N, L, d+2]
         bary = bary.at[..., 0].add(1.0 + bary[..., d + 1])
         bary = bary[..., : d + 1]  # [N, L, d+1] weights
 

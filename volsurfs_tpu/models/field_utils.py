@@ -11,6 +11,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from volsurfs_tpu.utils.math import safe_normalize
+
 
 def get_field_gradients(field_fn, points, eps: float = 1e-4):
     """Forward-difference spatial gradients of a scalar field.
@@ -24,13 +26,19 @@ def get_field_gradients(field_fn, points, eps: float = 1e-4):
         [[0.0, 0.0, 0.0], [eps, 0.0, 0.0], [0.0, eps, 0.0], [0.0, 0.0, eps]],
         points.dtype,
     )
-    stacked = points[None] + offsets[:, None, :].reshape(
-        (4,) + (1,) * (points.ndim - 1) + (3,)
-    )
-    res = field_fn(stacked)
-    sdf = res[0] if isinstance(res, tuple) else res
-    if sdf.shape[-1] > 1:
-        sdf = sdf[..., 0:1]
+    offsets = offsets.reshape((4,) + (1,) * (points.ndim - 1) + (3,))
+
+    def eval_offset(off):
+        res = field_fn(points + off)
+        sdf = res[0] if isinstance(res, tuple) else res
+        if sdf.shape[-1] > 1:
+            sdf = sdf[..., 0:1]
+        return sdf
+
+    # lax.map serializes the 4 shifted evaluations so peak memory is one
+    # evaluation's intermediates, not four (the reference stacks them into one
+    # batch, fields_utils.py:13-24 — fine on a 24GB GPU, wasteful on-chip)
+    sdf = jax.lax.map(eval_offset, offsets)
     grad = (sdf[1:] - sdf[0:1]) / eps
     return jnp.moveaxis(grad, 0, -1)[..., 0, :]
 
@@ -54,19 +62,13 @@ def get_sdf_curvature(field_fn, points, sdf_gradients, key, eps: float = 1e-4):
     a point shifted along a random tangent direction, mapped to [0, 1]
     (reference volsurfs_py/utils/fields_utils.py:83-166).
     """
-    normals = sdf_gradients / jnp.clip(
-        jnp.linalg.norm(sdf_gradients, axis=-1, keepdims=True), 1e-12
-    )
+    normals = safe_normalize(sdf_gradients)
     rand_dirs = jax.random.normal(key, points.shape)
-    rand_dirs = rand_dirs / jnp.clip(
-        jnp.linalg.norm(rand_dirs, axis=-1, keepdims=True), 1e-12
-    )
+    rand_dirs = safe_normalize(rand_dirs)
     tangents = jnp.cross(normals, rand_dirs)
     shifted = points + tangents * eps
     grads_shifted = get_field_gradients(field_fn, shifted, eps)
-    normals_shifted = grads_shifted / jnp.clip(
-        jnp.linalg.norm(grads_shifted, axis=-1, keepdims=True), 1e-12
-    )
+    normals_shifted = safe_normalize(grads_shifted)
     dot = jnp.sum(normals * normals_shifted, axis=-1, keepdims=True)
     angle = jnp.arccos(jnp.clip(dot, -1.0 + 1e-6, 1.0 - 1e-6))
     return angle / jnp.pi

@@ -1,0 +1,103 @@
+"""Image metrics (PSNR / SSIM) and split evaluation.
+
+Replaces the reference's piq-based evaluator
+(volsurfs_py/utils/evaluation.py:16-348). PSNR and SSIM are implemented
+directly (SSIM: standard 11x11 Gaussian-window formulation). LPIPS requires
+pretrained VGG weights, which this offline environment cannot download; the
+hook is kept and returns NaN when the backbone is unavailable.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+
+import numpy as np
+
+
+def psnr(gt: np.ndarray, pred: np.ndarray, max_val: float = 1.0) -> float:
+    mse = float(np.mean((gt.astype(np.float64) - pred.astype(np.float64)) ** 2))
+    if mse <= 1e-12:
+        return 99.0
+    return float(10.0 * np.log10(max_val**2 / mse))
+
+
+def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> np.ndarray:
+    ax = np.arange(size) - size // 2
+    k = np.exp(-(ax**2) / (2 * sigma**2))
+    k = k / k.sum()
+    return np.outer(k, k)
+
+
+def _filter2d(img: np.ndarray, kernel: np.ndarray) -> np.ndarray:
+    """valid-mode 2D convolution per channel via FFT-free sliding windows."""
+    kh, kw = kernel.shape
+    h, w = img.shape[:2]
+    out_h, out_w = h - kh + 1, w - kw + 1
+    strides = img.strides[:2] + img.strides[:2] + img.strides[2:]
+    shape = (out_h, out_w, kh, kw) + img.shape[2:]
+    windows = np.lib.stride_tricks.as_strided(img, shape=shape, strides=strides)
+    return np.einsum("ijklc,kl->ijc", windows, kernel)
+
+
+def ssim(gt: np.ndarray, pred: np.ndarray, max_val: float = 1.0) -> float:
+    """Mean SSIM over an 11x11 Gaussian window (Wang et al. 2004)."""
+    if gt.ndim == 2:
+        gt, pred = gt[..., None], pred[..., None]
+    gt = gt.astype(np.float64)
+    pred = pred.astype(np.float64)
+    k = _gaussian_kernel()
+    c1 = (0.01 * max_val) ** 2
+    c2 = (0.03 * max_val) ** 2
+    mu_x = _filter2d(gt, k)
+    mu_y = _filter2d(pred, k)
+    sigma_x = _filter2d(gt * gt, k) - mu_x**2
+    sigma_y = _filter2d(pred * pred, k) - mu_y**2
+    sigma_xy = _filter2d(gt * pred, k) - mu_x * mu_y
+    num = (2 * mu_x * mu_y + c1) * (2 * sigma_xy + c2)
+    den = (mu_x**2 + mu_y**2 + c1) * (sigma_x + sigma_y + c2)
+    return float(np.mean(num / den))
+
+
+def lpips(gt: np.ndarray, pred: np.ndarray) -> float:
+    """LPIPS hook — pretrained backbone unavailable offline; returns NaN."""
+    return float("nan")
+
+
+class PerSceneEvaluator:
+    """Accumulates per-image metrics and writes a csv
+    (reference utils/evaluation.py:16-83 layout)."""
+
+    def __init__(self, split_name: str):
+        self.split_name = split_name
+        self.rows = []
+
+    def update(self, image_id, gt: np.ndarray, pred: np.ndarray):
+        self.rows.append(
+            {
+                "id": image_id,
+                "psnr": psnr(gt, pred),
+                "ssim": ssim(gt, pred),
+                "lpips": lpips(gt, pred),
+            }
+        )
+
+    def means(self) -> dict:
+        if not self.rows:
+            return {"psnr": float("nan"), "ssim": float("nan"), "lpips": float("nan")}
+        return {
+            m: float(np.mean([r[m] for r in self.rows]))
+            for m in ("psnr", "ssim", "lpips")
+        }
+
+    def save_csv(self, out_dir: str):
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, f"{self.split_name}.csv")
+        with open(path, "w", newline="") as f:
+            writer = csv.DictWriter(f, fieldnames=["id", "psnr", "ssim", "lpips"])
+            writer.writeheader()
+            for row in self.rows:
+                writer.writerow(row)
+            means = self.means()
+            writer.writerow({"id": "mean", **means})
+        return path
