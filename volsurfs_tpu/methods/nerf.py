@@ -1,0 +1,304 @@
+"""``nerf`` method: occupancy-pruned volumetric density field.
+
+TPU-native re-design of reference volsurfs_py/methods/nerf.py (546 lines):
+density + view-dependent RGB fields over hash encodings, occupancy-grid
+pruned uniform sampling with one round of density-weighted importance
+sampling (reference utils/nerf_utils.py:10-176), NeRF compositing, and a
+learned or constant background. One jitted train step; occupancy refresh
+(decay 0.8, threshold 1e-4 — reference nerf.py:182-242) is a second jitted
+function on a 50-iteration cadence.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from volsurfs_tpu.methods.base import TrainState, make_optimizer
+from volsurfs_tpu.methods.surf import render_contracted_bg
+from volsurfs_tpu.models import fields as F
+from volsurfs_tpu.ops import raycast as RC
+from volsurfs_tpu.ops import samplers as SP
+from volsurfs_tpu.ops import samples as S
+from volsurfs_tpu.ops import volume_rendering as VR
+from volsurfs_tpu.ops.occupancy import make_grid
+from volsurfs_tpu.utils import losses as L
+
+
+class NeRF:
+    method_name = "nerf"
+
+    def __init__(
+        self,
+        hyper_params,
+        bounding_primitive,
+        bg_color: Optional[str] = None,
+        occupancy_res: int = 256,
+        key: jax.Array | None = None,
+    ):
+        self.hp = hyper_params
+        self.bounding_primitive = bounding_primitive
+        self.occupancy_res = occupancy_res
+        radius = float(bounding_primitive.get_radius())
+        self.radius = radius
+        bb_sides = radius * 2.0
+        hp = self.hp
+
+        self.density_model = F.Density(
+            mlp_layers_dims=tuple(hp.density_mlp_layers_dims),
+            encoding_type=hp.density_encoding_type,
+            geom_feat_size=hp.geom_feat_size,
+            nr_iters_for_c2f=hp.density_nr_iters_for_c2f,
+            bb_sides=bb_sides,
+        )
+        self.rgb_model = F.RGB(
+            mlp_layers_dims=tuple(hp.rgb_mlp_layers_dims),
+            pos_encoder_type=hp.rgb_pos_encoder_type,
+            sh_deg=hp.sh_degree,
+            view_dep=hp.rgb_view_dep,
+            normal_dep=hp.rgb_normal_dep,
+            geom_feat_dep=hp.rgb_geom_feat_dep,
+            in_geom_feat_size=hp.geom_feat_size,
+            nr_iters_for_c2f=hp.rgb_nr_iters_for_c2f,
+            bb_sides=bb_sides,
+        )
+        self.bg_color = None
+        self.bg_model = None
+        if bg_color in (None, "trained"):
+            self.bg_model = F.NerfHash(
+                pos_encoder_type=hp.bg_pos_encoder_type,
+                nr_iters_for_c2f=hp.bg_nr_iters_for_c2f,
+                bb_sides=None,
+            )
+        elif bg_color == "white":
+            self.bg_color = jnp.ones((1, 3))
+        elif bg_color == "black":
+            self.bg_color = jnp.zeros((1, 3))
+        else:
+            raise ValueError(f"bad bg_color {bg_color}")
+
+        self.tx = make_optimizer(hp, warmup_start_iter=0)
+        self._key = key if key is not None else jax.random.PRNGKey(0)
+        self._jit_cache = {}
+
+    def init_state(self) -> TrainState:
+        k_density, k_rgb, k_bg, k_state = jax.random.split(self._key, 4)
+        p0 = jnp.zeros((8, 3))
+        d0 = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (8, 1))
+        f0 = jnp.zeros((8, self.hp.geom_feat_size))
+        params = {
+            "density": self.density_model.init(k_density, p0),
+            "rgb": self.rgb_model.init(k_rgb, p0, d0, d0, f0),
+        }
+        if self.bg_model is not None:
+            params["bg"] = self.bg_model.init(k_bg, p0, d0)
+        grid = None
+        if self.hp.use_occupancy_grid:
+            grid = make_grid(
+                self.occupancy_res, self.radius * 2.0, sphere_roi_radius=self.radius
+            )
+        return TrainState(
+            params=params,
+            opt_state=self.tx.init(params),
+            grid=grid,
+            key=k_state,
+            iter_nr=jnp.asarray(0, jnp.int32),
+        )
+
+    def _density_fn(self, params, points, iter_nr):
+        return self.density_model.apply(params["density"], points, iter_nr)
+
+    # ---- sampling (reference utils/nerf_utils.py:95-176) ---------------------
+
+    def _sample_rays(self, params, grid, rays_o, rays_d, t_near, t_far, iter_nr, key, jitter):
+        hp = self.hp
+        k_uni, k_imp = jax.random.split(key, 2) if key is not None else (None, None)
+        if grid is not None:
+            uniform = SP.compute_samples_fg_in_occupied_regions(
+                rays_o, rays_d, t_near, t_far, grid.lookup_fn(),
+                hp.min_dist_between_samples, hp.min_nr_samples_per_ray,
+                hp.max_nr_samples_per_ray, key=k_uni if jitter else None,
+            )
+        else:
+            uniform = SP.compute_samples_fg(
+                rays_o, rays_d, t_near, t_far,
+                hp.min_dist_between_samples, hp.min_nr_samples_per_ray,
+                hp.max_nr_samples_per_ray, key=k_uni if jitter else None,
+            )
+        if not hp.do_importance_sampling:
+            return uniform
+
+        sg = jax.lax.stop_gradient(params)
+        density, _ = self._density_fn(sg, uniform.positions(), iter_nr)
+        weights, _ = VR.nerf_weights(uniform, density)
+        _, w_sum = VR.sum_over_rays(weights, uniform.mask)
+        weights = weights / jnp.clip(w_sum, 1e-6)
+        cdf = VR.compute_cdf(weights, uniform.mask)
+        imp = VR.importance_sample(
+            uniform, cdf, hp.max_nr_imp_samples_per_ray, k_imp if jitter else None
+        )
+        final, _ = S.combine(uniform, imp, hp.min_dist_between_samples)
+        return final
+
+    # ---- rendering (reference nerf.py:245-437) --------------------------------
+
+    def render_rays(self, params, grid, rays_o, rays_d, iter_nr, key, train: bool):
+        hp = self.hp
+        raycast = RC.intersect_bounding_primitive(self.bounding_primitive, rays_o, rays_d)
+        k_fg, k_bg = jax.random.split(key) if key is not None else (None, None)
+        samples = self._sample_rays(
+            params, grid, rays_o, rays_d, raycast["t_near"], raycast["t_far"],
+            iter_nr, k_fg, jitter=train,
+        )
+        pos = samples.positions()
+        density, geom_feat = self._density_fn(params, pos, iter_nr)
+        rgb_samples = self.rgb_model.apply(
+            params["rgb"], pos, samples.dirs(), None, geom_feat, iter_nr
+        )
+        weights, bg_transmittance = VR.nerf_weights(samples, density)
+        weights_sum, _ = VR.sum_over_rays(weights, samples.mask)
+        rgb_fg = VR.integrate(rgb_samples, weights, samples.mask)
+        depth_fg = VR.integrate(samples.z[..., None], weights, samples.mask)
+
+        if self.bg_model is None:
+            rgb_bg = jnp.broadcast_to(self.bg_color, rgb_fg.shape)
+            depth_bg = raycast["t_far"]
+        else:
+            bg_res = render_contracted_bg(
+                lambda p, d, i: self.bg_model.apply(params["bg"], p, d, i),
+                raycast, hp.nr_samples_bg, k_bg if train else None, iter_nr,
+            )
+            rgb_bg = bg_res["pred_rgb"]
+            depth_bg = bg_res["median_depth"]
+
+        rgb = rgb_fg + bg_transmittance * rgb_bg
+        depth = depth_fg * weights_sum + depth_bg * bg_transmittance
+        return {
+            "rgb": rgb,
+            "rgb_fg": rgb_fg,
+            "rgb_bg": rgb_bg,
+            "depth": depth,
+            "weights_sum": weights_sum,
+            "bg_transmittance": bg_transmittance,
+            "nr_samples": samples.samples_per_ray(),
+        }
+
+    # ---- loss (reference nerf.py:456-546) -------------------------------------
+
+    def _loss(self, params, grid, batch, iter_nr, key):
+        hp = self.hp
+        k_render, k_pts = jax.random.split(key)
+        res = self.render_rays(
+            params, grid, batch["rays_o"], batch["rays_d"], iter_nr, k_render, True
+        )
+        pred_rgb = res["rgb"]
+        pred_mask = res["weights_sum"]
+        if hp.nr_training_rays_per_pixel > 1:
+            pred_rgb = pred_rgb.reshape(-1, hp.nr_training_rays_per_pixel, 3).mean(1)
+            pred_mask = pred_mask.reshape(-1, hp.nr_training_rays_per_pixel, 1).mean(1)
+
+        if hp.is_training_masked:
+            loss_rgb = L.loss_l1(batch["gt_rgb"], pred_rgb, mask=batch["gt_mask"])
+        else:
+            loss_rgb = L.loss_l1(batch["gt_rgb"], pred_rgb)
+        loss = loss_rgb
+
+        loss_sparsity = jnp.asarray(0.0)
+        if hp.sparsity_weight > 0.0:
+            pts = self.bounding_primitive.get_random_points_inside(k_pts, 1024)
+            density, _ = self._density_fn(params, pts, iter_nr)
+            # reference gates the sparsity loss to iter > 5000 (nerf.py:508)
+            gate = jnp.where(iter_nr > 5000, 1.0, 0.0)
+            loss_sparsity = L.sparsity_loss(density) * hp.sparsity_weight * gate
+            loss = loss + loss_sparsity
+
+        loss_mask = jnp.asarray(0.0)
+        if hp.is_training_masked and hp.mask_weight > 0.0:
+            pm = jnp.clip(pred_mask, 0.0, 1.0)
+            loss_mask = (
+                L.loss_l1(pm, batch["gt_mask"], mask=1.0 - batch["gt_mask"])
+                * hp.mask_weight
+            )
+            loss = loss + loss_mask
+
+        return loss, {
+            "loss": loss,
+            "rgb": loss_rgb,
+            "sparsity": loss_sparsity,
+            "mask": loss_mask,
+        }
+
+    # ---- steps ----------------------------------------------------------------
+
+    def _get_jitted(self, name, fn, **kw):
+        if name not in self._jit_cache:
+            self._jit_cache[name] = jax.jit(fn, **kw)
+        return self._jit_cache[name]
+
+    def train_step(self, state: TrainState, batch):
+        def step_fn(state, batch):
+            k, k_loss = jax.random.split(state.key)
+
+            def loss_fn(params):
+                return self._loss(params, state.grid, batch, state.iter_nr, k_loss)
+
+            (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return (
+                state.replace(
+                    params=params, opt_state=opt_state, key=k, iter_nr=state.iter_nr + 1
+                ),
+                losses,
+            )
+
+        return self._get_jitted("step", step_fn, donate_argnums=(0,))(state, batch)
+
+    def update_occupancy_grid(self, state: TrainState) -> TrainState:
+        """Density occupancy refresh with EMA decay 0.8 and jittered voxel
+        samples (reference nerf.py:182-242). The reference re-evaluates a
+        random voxel subset with a scatter; TPU scatters serialize, so all
+        voxels are refreshed (vectorized, chunked)."""
+        if state.grid is None:
+            return state
+
+        def update_fn(state):
+            grid = state.grid
+            k, k_jitter = jax.random.split(state.key)
+            pts = grid.get_grid_samples(k_jitter)
+            n = pts.shape[0]
+            chunk = min(n, 65536)
+            n_chunks = n // chunk
+
+            def eval_chunk(p):
+                density, _ = self._density_fn(
+                    jax.lax.stop_gradient(state.params), p, state.iter_nr
+                )
+                return density[..., 0]
+
+            vals = jax.lax.map(
+                eval_chunk, pts[: n_chunks * chunk].reshape(n_chunks, chunk, 3)
+            ).reshape(-1)
+            if n_chunks * chunk < n:
+                vals = jnp.concatenate([vals, eval_chunk(pts[n_chunks * chunk :])])
+            grid = grid.update_values(vals, decay=0.8)
+            grid = grid.update_occupancy_with_density(occupancy_thresh=1e-4)
+            return state.replace(grid=grid, key=k)
+
+        return self._get_jitted("update_occupancy", update_fn)(state)
+
+    def make_render_fn(self, chunk_size: int = 2048):
+        def render(params, grid, rays_o, rays_d, iter_nr):
+            res = self.render_rays(params, grid, rays_o, rays_d, iter_nr, None, False)
+            return {
+                "rgb": res["rgb"],
+                "depth": res["depth"],
+                "weights_sum": res["weights_sum"],
+            }
+
+        return self._get_jitted("render", render)
