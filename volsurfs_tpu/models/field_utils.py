@@ -43,6 +43,32 @@ def get_field_gradients(field_fn, points, eps: float = 1e-4):
     return jnp.moveaxis(grad, 0, -1)[..., 0, :]
 
 
+def get_fields_gradients(fields_fn, points, eps: float = 1e-4):
+    """Forward-difference gradients of a multi-output field.
+
+    Args:
+      fields_fn: [..., 3] -> [..., K] (or tuple whose first element is that).
+      points: [..., 3]
+    Returns: [..., K, 3] per-output gradients (one 4-point FD evaluates all
+    outputs at once — matching the reference's batched multi-surface FD,
+    fields_utils.py:6-80 applied to OffsetsSDF.forward).
+    """
+    offsets = jnp.asarray(
+        [[0.0, 0.0, 0.0], [eps, 0.0, 0.0], [0.0, eps, 0.0], [0.0, 0.0, eps]],
+        points.dtype,
+    )
+    offsets = offsets.reshape((4,) + (1,) * (points.ndim - 1) + (3,))
+
+    def eval_offset(off):
+        res = fields_fn(points + off)
+        vals = res[0] if isinstance(res, tuple) else res
+        return vals
+
+    vals = jax.lax.map(eval_offset, offsets)  # [4, ..., K]
+    grad = (vals[1:] - vals[0:1]) / eps  # [3, ..., K]
+    return jnp.moveaxis(grad, 0, -1)  # [..., K, 3]
+
+
 def get_field_gradients_autodiff(field_fn, points):
     """jax.grad variant (exact gradients; the reference only has the
     finite-difference path, fields_utils.py:55-70 is commented out)."""
