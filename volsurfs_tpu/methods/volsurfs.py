@@ -1,0 +1,344 @@
+"""``volsurfs`` method: appearance training on k extracted mesh shells.
+
+TPU-native re-design of reference volsurfs_py/methods/volsurfs.py (816
+lines) — the real-time path and this framework's flagship model. Each of the
+k meshes (ordered inner -> outer) is ray-traced with the stackless BVH
+(ops/bvh.py, replacing the CUDA raytracelib), hit barycentrics give UVs, SH
+neural textures (or legacy ColorSH/RGB fields) give per-mesh rgb and alpha,
+and the shells are alpha-composited outer -> inner in float16 (WebGL parity;
+reference volsurfs.py:602-640,704-705). Since every ray intersects each mesh
+at most once, everything is dense [rays, k] tensors — no packing, ideal for
+the TPU.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from volsurfs_tpu.methods.base import TrainState, make_optimizer
+from volsurfs_tpu.methods.surf import render_contracted_bg
+from volsurfs_tpu.models import fields as F
+from volsurfs_tpu.models.textures import SHNeuralTextures
+from volsurfs_tpu.ops import bvh as B
+from volsurfs_tpu.ops import raycast as RC
+from volsurfs_tpu.utils import losses as L
+
+
+class VolSurfs:
+    method_name = "volsurfs"
+
+    def __init__(
+        self,
+        hyper_params,
+        meshes: Sequence[tuple],  # [(verts, faces, uvs), ...] inner -> outer
+        bg_color: Optional[str] = None,
+        bounding_primitive=None,
+        key: jax.Array | None = None,
+    ):
+        self.hp = hyper_params
+        hp = self.hp
+        self.nr_meshes = len(meshes)
+        assert self.nr_meshes >= 1, "volsurfs needs at least one mesh"
+        self.bounding_primitive = bounding_primitive or RC.make_bounding_sphere(1.0)
+
+        self.tensor_meshes = [
+            B.make_tensor_mesh(v, f, uv) for (v, f, uv) in meshes
+        ]
+        self.bvhs = [B.build_bvh(v, f) for (v, f, uv) in meshes]
+
+        self.nr_rgb_models = self.nr_meshes if hp.are_volsurfs_colors_indep else 1
+        self.nr_alpha_models = self.nr_meshes if hp.are_volsurfs_alphas_indep else 1
+        # innermost mesh can be solid: no alpha model for mesh 0
+        # (reference volsurfs.py:138-302)
+        self.solid_inner = hp.is_inner_mesh_solid
+
+        if hp.using_neural_textures:
+            self.rgb_model = SHNeuralTextures(
+                sh_deg=hp.sh_degree,
+                nr_channels=3,
+                sh_range=tuple(hp.sh_range),
+                deg_res=tuple(hp.textures_res),
+                anchor=hp.using_neural_textures_anchor,
+                lerp=hp.using_neural_textures_lerp,
+                quantize_output=hp.using_sh_quantization,
+                squeeze_output=hp.using_sh_squeezing,
+            )
+            self.alpha_model = SHNeuralTextures(
+                sh_deg=hp.sh_degree,
+                nr_channels=1,
+                sh_range=tuple(hp.sh_range),
+                deg_res=tuple(hp.textures_res),
+                anchor=hp.using_neural_textures_anchor,
+                lerp=hp.using_neural_textures_lerp,
+                quantize_output=hp.using_sh_quantization,
+                squeeze_output=hp.using_sh_squeezing,
+            )
+        else:
+            # legacy per-mesh neural fields (reference volsurfs.py:200-302)
+            radius = float(self.bounding_primitive.get_radius())
+            if hp.appearance_predict_sh_coeffs:
+                self.rgb_model = F.ColorSH(
+                    mlp_layers_dims=tuple(hp.rgb_mlp_layers_dims),
+                    pos_encoder_type=hp.rgb_pos_encoder_type,
+                    out_channels=3,
+                    sh_deg=hp.sh_degree,
+                    normal_dep=hp.rgb_normal_dep,
+                    geom_feat_dep=False,
+                    in_geom_feat_size=0,
+                    bb_sides=radius * 2.0,
+                )
+                self.alpha_model = F.ColorSH(
+                    mlp_layers_dims=tuple(hp.rgb_mlp_layers_dims),
+                    pos_encoder_type=hp.rgb_pos_encoder_type,
+                    out_channels=1,
+                    sh_deg=hp.sh_degree,
+                    normal_dep=hp.transp_normal_dep,
+                    geom_feat_dep=False,
+                    in_geom_feat_size=0,
+                    bb_sides=radius * 2.0,
+                )
+            else:
+                self.rgb_model = F.RGB(
+                    mlp_layers_dims=tuple(hp.rgb_mlp_layers_dims),
+                    pos_encoder_type=hp.rgb_pos_encoder_type,
+                    out_channels=3,
+                    sh_deg=hp.sh_degree,
+                    view_dep=hp.rgb_view_dep,
+                    normal_dep=hp.rgb_normal_dep,
+                    geom_feat_dep=False,
+                    in_geom_feat_size=0,
+                    bb_sides=radius * 2.0,
+                )
+                self.alpha_model = F.RGB(
+                    mlp_layers_dims=tuple(hp.rgb_mlp_layers_dims),
+                    pos_encoder_type=hp.rgb_pos_encoder_type,
+                    out_channels=1,
+                    sh_deg=hp.sh_degree,
+                    view_dep=hp.transp_view_dep,
+                    normal_dep=hp.transp_normal_dep,
+                    geom_feat_dep=False,
+                    in_geom_feat_size=0,
+                    bb_sides=radius * 2.0,
+                )
+
+        self.bg_color = None
+        self.bg_model = None
+        if bg_color in (None, "trained"):
+            self.bg_model = F.NerfHash(
+                pos_encoder_type=hp.bg_pos_encoder_type,
+                nr_iters_for_c2f=hp.bg_nr_iters_for_c2f,
+                bb_sides=None,
+            )
+        elif bg_color == "white":
+            self.bg_color = jnp.ones((1, 3))
+        elif bg_color == "black":
+            self.bg_color = jnp.zeros((1, 3))
+        else:
+            raise ValueError(f"bad bg_color {bg_color}")
+
+        self.tx = make_optimizer(hp, warmup_start_iter=0)
+        self._key = key if key is not None else jax.random.PRNGKey(0)
+        self._jit_cache = {}
+
+    # ---- init --------------------------------------------------------------
+
+    def _init_appearance(self, model, key, channels):
+        if self.hp.using_neural_textures:
+            uv0 = jnp.full((8, 2), 0.5)
+            d0 = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (8, 1))
+            return model.init(key, uv0, d0)
+        p0 = jnp.zeros((8, 3))
+        d0 = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (8, 1))
+        return model.init(key, p0, d0, d0, None)
+
+    def init_state(self) -> TrainState:
+        keys = jax.random.split(
+            self._key, 2 + self.nr_rgb_models + self.nr_alpha_models
+        )
+        params = {}
+        for i in range(self.nr_rgb_models):
+            params[f"rgb_{i}"] = self._init_appearance(self.rgb_model, keys[i], 3)
+        for i in range(self.nr_alpha_models):
+            params[f"alpha_{i}"] = self._init_appearance(
+                self.alpha_model, keys[self.nr_rgb_models + i], 1
+            )
+        if self.bg_model is not None:
+            p0 = jnp.zeros((8, 3))
+            d0 = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (8, 1))
+            params["bg"] = self.bg_model.init(keys[-2], p0, d0)
+        return TrainState(
+            params=params,
+            opt_state=self.tx.init(params),
+            grid=None,
+            key=keys[-1],
+            iter_nr=jnp.asarray(0, jnp.int32),
+        )
+
+    # ---- appearance queries --------------------------------------------------
+
+    def _query_rgb(self, params, mesh_idx, uv, pos, dirs, normals, iter_nr):
+        name = f"rgb_{mesh_idx if self.hp.are_volsurfs_colors_indep else 0}"
+        if self.hp.using_neural_textures:
+            return self.rgb_model.apply(params[name], uv, dirs)
+        if self.hp.appearance_predict_sh_coeffs:
+            return self.rgb_model.apply(params[name], pos, dirs, normals, None, iter_nr)
+        return self.rgb_model.apply(params[name], pos, dirs, normals, None, iter_nr)
+
+    def _query_alpha(self, params, mesh_idx, uv, pos, dirs, normals, iter_nr):
+        if self.solid_inner and mesh_idx == 0:
+            return jnp.ones((*uv.shape[:-1], 1))
+        name = f"alpha_{mesh_idx if self.hp.are_volsurfs_alphas_indep else 0}"
+        if self.hp.using_neural_textures:
+            return self.alpha_model.apply(params[name], uv, dirs)
+        return self.alpha_model.apply(params[name], pos, dirs, normals, None, iter_nr)
+
+    # ---- rendering (reference volsurfs.py:423-760) -----------------------------
+
+    def render_rays(self, params, grid, rays_o, rays_d, iter_nr, key, train: bool):
+        hp = self.hp
+        R = rays_o.shape[0]
+        raycast = RC.intersect_bounding_primitive(
+            self.bounding_primitive, rays_o, rays_d
+        )
+        k_bg = key
+
+        surfs_rgb, surfs_alpha, surfs_hits = [], [], []
+        surfs_normals, surfs_depths, surfs_uvs = [], [], []
+        for i in range(self.nr_meshes):
+            hit = B.trace(self.bvhs[i], rays_o, rays_d)
+            mesh = self.tensor_meshes[i]
+            is_hit = hit["is_hit"]
+            uv = mesh.face_attr(mesh.uvs, hit["triangles_id"], hit["barycentric"])
+            normals = mesh.face_attr(
+                mesh.normals, hit["triangles_id"], hit["barycentric"]
+            )
+            normals = normals / jnp.clip(
+                jnp.linalg.norm(normals, axis=-1, keepdims=True), 1e-12
+            )
+            pos = hit["positions"]
+
+            rgb = self._query_rgb(params, i, uv, pos, rays_d, normals, iter_nr)
+            alpha = self._query_alpha(params, i, uv, pos, rays_d, normals, iter_nr)
+
+            if hp.with_alpha_decay and not (self.solid_inner and i == 0):
+                # grazing-angle transparency decay, threshold 10
+                # (reference volsurfs.py:583-594)
+                dot = jnp.clip(
+                    jnp.sum(-rays_d * normals, axis=-1, keepdims=True), 0.0, 1.0
+                )
+                decay = jax.nn.sigmoid(10.0 * dot) * 2.0 - 1.0
+                alpha = alpha * jax.lax.stop_gradient(decay)
+
+            m = is_hit[:, None]
+            surfs_rgb.append(jnp.where(m, rgb, 0.0))
+            surfs_alpha.append(jnp.where(m, alpha, 0.0))
+            surfs_hits.append(is_hit)
+            surfs_normals.append(jnp.where(m, normals, 0.0))
+            surfs_depths.append(jnp.where(m, hit["depth"], 0.0))
+            surfs_uvs.append(jnp.where(m, uv, 0.0))
+
+        surfs_rgb = jnp.stack(surfs_rgb, axis=1)  # [R, k, 3] inner -> outer
+        surfs_alpha = jnp.stack(surfs_alpha, axis=1)  # [R, k, 1]
+        surfs_hits = jnp.stack(surfs_hits, axis=1)  # [R, k]
+
+        # float16 compositing outer -> inner (reference volsurfs.py:602-640)
+        rgb_o2i = jnp.flip(surfs_rgb, axis=1).astype(jnp.float16)
+        alpha_o2i = jnp.flip(surfs_alpha, axis=1).astype(jnp.float16)
+        transmittances = jnp.cumprod(1.0 - alpha_o2i, axis=1)
+        if self.nr_meshes == 1:
+            surfs_T = jnp.ones_like(transmittances)
+            bg_transmittance = transmittances[:, -1]
+        else:
+            surfs_T = jnp.concatenate(
+                [jnp.ones_like(transmittances[:, :1]), transmittances[:, :-1]],
+                axis=1,
+            )
+            bg_transmittance = transmittances[:, -1]
+        blending = surfs_T * alpha_o2i
+        rgb_fg = jnp.sum(rgb_o2i * blending, axis=1)
+
+        # background (reference volsurfs.py:686-708)
+        if self.bg_model is None:
+            rgb_bg = jnp.broadcast_to(self.bg_color, (R, 3))
+        else:
+            bg_res = render_contracted_bg(
+                lambda p, d, i_: self.bg_model.apply(params["bg"], p, d, i_),
+                raycast, hp.nr_samples_bg, k_bg if train else None, iter_nr,
+            )
+            rgb_bg = bg_res["pred_rgb"]
+        rgb = (rgb_fg + bg_transmittance * rgb_bg.astype(jnp.float16)).astype(
+            jnp.float32
+        )
+
+        return {
+            "rgb": rgb,
+            "rgb_fg": rgb_fg.astype(jnp.float32),
+            "rgb_bg": rgb_bg,
+            "bg_transmittance": bg_transmittance.astype(jnp.float32),
+            "surfs_rgb": surfs_rgb,
+            "surfs_alpha": surfs_alpha,
+            "surfs_hits": surfs_hits,
+            "surfs_normals": jnp.stack(surfs_normals, axis=1),
+            "surfs_depths": jnp.stack(surfs_depths, axis=1),
+            "surfs_uvs": jnp.stack(surfs_uvs, axis=1),
+            "surfs_blending_weights": jnp.flip(blending, axis=1).astype(jnp.float32),
+        }
+
+    # ---- loss (reference volsurfs.py:763-816: L1 only) --------------------------
+
+    def _loss(self, params, batch, iter_nr, key):
+        hp = self.hp
+        res = self.render_rays(
+            params, None, batch["rays_o"], batch["rays_d"], iter_nr, key, True
+        )
+        pred_rgb = res["rgb"]
+        if hp.nr_training_rays_per_pixel > 1:
+            pred_rgb = pred_rgb.reshape(-1, hp.nr_training_rays_per_pixel, 3).mean(1)
+        if hp.is_training_masked:
+            loss_rgb = L.loss_l1(batch["gt_rgb"], pred_rgb, mask=batch["gt_mask"])
+        else:
+            loss_rgb = L.loss_l1(batch["gt_rgb"], pred_rgb)
+        return loss_rgb, {"loss": loss_rgb, "rgb": loss_rgb}
+
+    # ---- steps -------------------------------------------------------------
+
+    def _get_jitted(self, name, fn, **kw):
+        if name not in self._jit_cache:
+            self._jit_cache[name] = jax.jit(fn, **kw)
+        return self._jit_cache[name]
+
+    def train_step(self, state: TrainState, batch):
+        def step_fn(state, batch):
+            k, k_loss = jax.random.split(state.key)
+
+            def loss_fn(params):
+                return self._loss(params, batch, state.iter_nr, k_loss)
+
+            (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return (
+                state.replace(
+                    params=params, opt_state=opt_state, key=k, iter_nr=state.iter_nr + 1
+                ),
+                losses,
+            )
+
+        return self._get_jitted("step", step_fn, donate_argnums=(0,))(state, batch)
+
+    def make_render_fn(self, chunk_size: int = 2048):
+        def render(params, grid, rays_o, rays_d, iter_nr):
+            res = self.render_rays(params, grid, rays_o, rays_d, iter_nr, None, False)
+            return {
+                "rgb": res["rgb"],
+                "bg_transmittance": res["bg_transmittance"],
+            }
+
+        return self._get_jitted("render", render)

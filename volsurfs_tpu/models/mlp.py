@@ -18,20 +18,26 @@ from flax import linen as nn
 
 
 class MLP(nn.Module):
-    """Linear+GELU stack; last layer optionally linear."""
+    """Linear + activation stack; last layer optionally linear.
+
+    activation: "gelu" (reference models/mlp.py default) or "relu" (used by
+    the tcnn FullyFusedMLP texture networks, reference neural_texture.py:66-72).
+    """
 
     layer_dims: Sequence[int]  # output dims per layer (reference semantics)
     last_layer_linear: bool = True
     use_bias: bool = True
+    activation: str = "gelu"
 
     @nn.compact
     def __call__(self, x):
+        act = {"gelu": nn.gelu, "relu": nn.relu}[self.activation]
         n = len(self.layer_dims)
         for i, dim in enumerate(self.layer_dims):
             x = nn.Dense(dim, use_bias=self.use_bias, name=f"dense_{i}")(x)
             is_last = i == n - 1
             if not (is_last and self.last_layer_linear):
-                x = nn.gelu(x)
+                x = act(x)
         return x
 
 

@@ -1,0 +1,292 @@
+"""BVH construction (host) + vectorized closest-hit ray tracing (device).
+
+TPU-native replacement for the reference's vendored CUDA raytracelib
+(SURVEY.md N8: ``RayTracer([TensorMesh]).trace(rays_o, rays_d, mesh_id)`` ->
+{is_hit, depth, positions, normals, barycentric, triangles_id}; usage
+reference volsurfs_py/methods/volsurfs.py:128,480-501).
+
+Design: the BVH is built once on host (median split) and flattened in
+depth-first order with *miss pointers*, so device traversal is stackless:
+every ray keeps a single node cursor; on a bbox hit it advances to node+1,
+on a miss it jumps to the node's skip pointer. One jax.lax.while_loop
+advances all rays in lockstep (masked), so traversal is a fixed sequence of
+gathers + Moller-Trumbore tests that XLA vectorizes over the ray batch.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+LEAF_TRIS = 4  # triangles per leaf (padded)
+
+
+@struct.dataclass
+class BVH:
+    """Flattened BVH + triangle soup (device arrays).
+
+    node_lo/node_hi: [N, 3] bboxes; node_skip: [N] miss pointer;
+    node_first: [N] first padded-leaf slot or -1 for inner nodes;
+    tri_v0/e1/e2: [L*LEAF_TRIS, 3] padded leaf triangles (degenerate pad);
+    tri_id: [L*LEAF_TRIS] original face index (-1 pad).
+    """
+
+    node_lo: jnp.ndarray
+    node_hi: jnp.ndarray
+    node_skip: jnp.ndarray
+    node_first: jnp.ndarray
+    tri_v0: jnp.ndarray
+    tri_e1: jnp.ndarray
+    tri_e2: jnp.ndarray
+    tri_id: jnp.ndarray
+
+
+def build_bvh(verts: np.ndarray, faces: np.ndarray, leaf_size: int = LEAF_TRIS) -> BVH:
+    """Median-split BVH over triangles; flattened depth-first with miss links."""
+    verts = np.asarray(verts, np.float32)
+    faces = np.asarray(faces, np.int64)
+    v0 = verts[faces[:, 0]]
+    v1 = verts[faces[:, 1]]
+    v2 = verts[faces[:, 2]]
+    centroids = (v0 + v1 + v2) / 3.0
+    tri_lo = np.minimum(np.minimum(v0, v1), v2)
+    tri_hi = np.maximum(np.maximum(v0, v1), v2)
+
+    nodes = []  # (lo, hi, first_or_minus1, tri_list)
+    children = []  # (left_id, right_id) for inner nodes
+
+    def rec(idx):
+        lo = tri_lo[idx].min(0)
+        hi = tri_hi[idx].max(0)
+        node_id = len(nodes)
+        if len(idx) <= leaf_size:
+            nodes.append([lo, hi, idx])
+            children.append(None)
+            return node_id
+        axis = int(np.argmax(hi - lo))
+        order = np.argsort(centroids[idx, axis])
+        half = len(idx) // 2
+        nodes.append([lo, hi, None])
+        children.append(None)
+        left = rec(idx[order[:half]])
+        right = rec(idx[order[half:]])
+        children[node_id] = (left, right)
+        return node_id
+
+    import sys
+
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old_limit, 10000))
+    rec(np.arange(faces.shape[0]))
+    sys.setrecursionlimit(old_limit)
+
+    n = len(nodes)
+    # depth-first order is already the construction order (rec appends parent
+    # before children, left subtree fully before right) -> hit pointer = id+1.
+    # miss pointer: for node i, the next node after its whole subtree.
+    skip = np.full(n, n, np.int32)
+
+    def fill_skip(node_id, skip_to):
+        skip[node_id] = skip_to
+        if children[node_id] is not None:
+            left, right = children[node_id]
+            fill_skip(left, right)
+            fill_skip(right, skip_to)
+
+    sys.setrecursionlimit(max(old_limit, 10000))
+    fill_skip(0, n)
+    sys.setrecursionlimit(old_limit)
+
+    node_lo = np.stack([nd[0] for nd in nodes])
+    node_hi = np.stack([nd[1] for nd in nodes])
+    node_first = np.full(n, -1, np.int32)
+
+    leaf_tris = []
+    for i, nd in enumerate(nodes):
+        if nd[2] is not None:
+            node_first[i] = len(leaf_tris) * 1
+            padded = list(nd[2]) + [-1] * (leaf_size - len(nd[2]))
+            leaf_tris.append(padded)
+    node_first_slots = np.full(n, -1, np.int32)
+    slot = 0
+    for i, nd in enumerate(nodes):
+        if nd[2] is not None:
+            node_first_slots[i] = slot
+            slot += leaf_size
+    tri_idx = np.asarray(
+        [t for padded in leaf_tris for t in padded], np.int64
+    )
+    valid = tri_idx >= 0
+    safe_idx = np.where(valid, tri_idx, 0)
+    t_v0 = np.where(valid[:, None], v0[safe_idx], 0.0).astype(np.float32)
+    t_e1 = np.where(valid[:, None], (v1 - v0)[safe_idx], 0.0).astype(np.float32)
+    t_e2 = np.where(valid[:, None], (v2 - v0)[safe_idx], 0.0).astype(np.float32)
+    t_id = np.where(valid, tri_idx, -1).astype(np.int32)
+
+    return BVH(
+        node_lo=jnp.asarray(node_lo),
+        node_hi=jnp.asarray(node_hi),
+        node_skip=jnp.asarray(skip),
+        node_first=jnp.asarray(node_first_slots),
+        tri_v0=jnp.asarray(t_v0),
+        tri_e1=jnp.asarray(t_e1),
+        tri_e2=jnp.asarray(t_e2),
+        tri_id=jnp.asarray(t_id),
+    )
+
+
+def _ray_box(lo, hi, rays_o, inv_d, t_max):
+    t0 = (lo - rays_o) * inv_d
+    t1 = (hi - rays_o) * inv_d
+    t_near = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    t_far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    return (t_far >= t_near) & (t_far > 0.0) & (t_near < t_max)
+
+
+def _moller_trumbore(v0, e1, e2, rays_o, rays_d, eps=1e-9):
+    """Batched triangle intersection. Shapes: tri [.., K, 3], rays [.., 3].
+    Returns (t, u, v, hit)."""
+    pvec = jnp.cross(rays_d[..., None, :], e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    inv_det = jnp.where(jnp.abs(det) > eps, 1.0 / det, 0.0)
+    tvec = rays_o[..., None, :] - v0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(rays_d[..., None, :] * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    hit = (
+        (jnp.abs(det) > eps)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > 1e-6)
+    )
+    return t, u, v, hit
+
+
+def trace(bvh: BVH, rays_o, rays_d, t_min: float = 1e-6):
+    """Closest-hit trace of a ray batch against the BVH.
+
+    Returns dict matching raytracelib's trace output
+    (reference methods/volsurfs.py:480-501):
+      is_hit [R], depth [R, 1], positions [R, 3], normals [R, 3],
+      barycentric [R, 2] (u, v), triangles_id [R].
+    """
+    R = rays_o.shape[0]
+    n_nodes = bvh.node_lo.shape[0]
+    inv_d = 1.0 / jnp.where(jnp.abs(rays_d) < 1e-12, 1e-12, rays_d)
+
+    def cond(state):
+        node, t_best, tri_best, uv_best = state
+        return jnp.any(node < n_nodes)
+
+    def body(state):
+        node, t_best, tri_best, uv_best = state
+        safe = jnp.minimum(node, n_nodes - 1)
+        lo = bvh.node_lo[safe]
+        hi = bvh.node_hi[safe]
+        skip = bvh.node_skip[safe]
+        first = bvh.node_first[safe]
+        active = node < n_nodes
+
+        box_hit = _ray_box(lo, hi, rays_o, inv_d, t_best) & active
+        is_leaf = first >= 0
+
+        # leaf: test LEAF_TRIS triangles
+        slot = jnp.maximum(first, 0)[:, None] + jnp.arange(LEAF_TRIS)[None, :]
+        v0 = bvh.tri_v0[slot]
+        e1 = bvh.tri_e1[slot]
+        e2 = bvh.tri_e2[slot]
+        tid = bvh.tri_id[slot]
+        t, u, v, hit = _moller_trumbore(v0, e1, e2, rays_o, rays_d)
+        hit = hit & (tid >= 0) & box_hit[:, None] & is_leaf[:, None]
+        t = jnp.where(hit, t, jnp.inf)
+        k = jnp.argmin(t, axis=-1)
+        t_leaf = jnp.take_along_axis(t, k[:, None], axis=1)[:, 0]
+        better = t_leaf < t_best
+        t_best = jnp.where(better, t_leaf, t_best)
+        tri_best = jnp.where(
+            better, jnp.take_along_axis(tid, k[:, None], axis=1)[:, 0], tri_best
+        )
+        uv_new = jnp.stack(
+            [
+                jnp.take_along_axis(u, k[:, None], axis=1)[:, 0],
+                jnp.take_along_axis(v, k[:, None], axis=1)[:, 0],
+            ],
+            axis=-1,
+        )
+        uv_best = jnp.where(better[:, None], uv_new, uv_best)
+
+        descend = box_hit & ~is_leaf
+        node = jnp.where(active, jnp.where(descend, node + 1, skip), node)
+        return node, t_best, tri_best, uv_best
+
+    node0 = jnp.zeros((R,), jnp.int32)
+    state = (
+        node0,
+        jnp.full((R,), jnp.inf),
+        jnp.full((R,), -1, jnp.int32),
+        jnp.zeros((R, 2)),
+    )
+    node, t_best, tri_best, uv_best = jax.lax.while_loop(cond, body, state)
+
+    is_hit = tri_best >= 0
+    depth = jnp.where(is_hit, t_best, 0.0)[:, None]
+    positions = rays_o + depth * rays_d
+    # geometric normal from the hit triangle
+    safe_tri = jnp.maximum(tri_best, 0)
+    return {
+        "is_hit": is_hit,
+        "depth": depth,
+        "positions": positions,
+        "barycentric": uv_best,
+        "triangles_id": tri_best,
+    }
+
+
+@struct.dataclass
+class TensorMesh:
+    """Device-resident mesh with UVs and per-face vertex data
+    (mvdatasets TensorMesh parity)."""
+
+    verts: jnp.ndarray  # [V, 3]
+    faces: jnp.ndarray  # [F, 3] int32
+    uvs: jnp.ndarray | None  # [V, 2]
+    normals: jnp.ndarray | None  # [V, 3]
+
+    def face_attr(self, attr, face_ids, bary_uv):
+        """Interpolate a per-vertex attribute at (face, barycentric) hits.
+
+        bary_uv = (u, v) from Moller-Trumbore: P = (1-u-v) V0 + u V1 + v V2.
+        """
+        f = self.faces[jnp.maximum(face_ids, 0)]
+        a = attr[f[..., 0]]
+        b = attr[f[..., 1]]
+        c = attr[f[..., 2]]
+        u = bary_uv[..., 0:1]
+        v = bary_uv[..., 1:2]
+        return (1.0 - u - v) * a + u * b + v * c
+
+
+def compute_vertex_normals(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    fn = np.cross(
+        verts[faces[:, 1]] - verts[faces[:, 0]],
+        verts[faces[:, 2]] - verts[faces[:, 0]],
+    )
+    vn = np.zeros_like(verts)
+    for k in range(3):
+        np.add.at(vn, faces[:, k], fn)
+    return (vn / np.maximum(np.linalg.norm(vn, axis=-1, keepdims=True), 1e-12)).astype(
+        np.float32
+    )
+
+
+def make_tensor_mesh(verts, faces, uvs=None) -> TensorMesh:
+    return TensorMesh(
+        verts=jnp.asarray(verts, jnp.float32),
+        faces=jnp.asarray(faces, jnp.int32),
+        uvs=None if uvs is None else jnp.asarray(uvs, jnp.float32),
+        normals=jnp.asarray(compute_vertex_normals(np.asarray(verts), np.asarray(faces))),
+    )
