@@ -1,57 +1,115 @@
-"""Benchmark: rendering throughput on the real chip.
+"""Benchmark: 5-mesh baked VolSurfs render throughput on the real chip.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
-North-star metric (BASELINE.json): Mrays/sec/chip on the 5-mesh Shelly baked
-render. Until the volsurfs baked path lands, this measures the surf
-volumetric render path (occupancy-pruned sampling + SDF/RGB fields + NeuS
-compositing) in Mrays/sec on one chip. The reference publishes no numbers
-(BASELINE.md), so vs_baseline is reported against a fixed internal target of
-1.0 Mrays/s until a measured reference baseline exists.
+North-star metric (BASELINE.json): Mrays/sec/chip on the 5-mesh baked
+render — the reference paper's real-time path (k alpha-blended SH-textured
+meshes, reference volsurfs_py/renderers/mesh_renderer.py). The scene is a
+procedurally baked 5-shell stand-in for Shelly with the reference texture
+pyramid ([2048,1024,512,256], SH degree 3). The reference publishes no
+numbers (BASELINE.md), so vs_baseline is reported against a fixed internal
+target of 10 Mrays/s until a measured reference baseline exists.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import tempfile
 import time
+
+import numpy as np
+
+
+def build_scene(scene_dir: str, nr_meshes: int = 5, mesh_res: int = 96,
+                textures_res=(2048, 1024, 512, 256), sh_degree: int = 3):
+    """Procedural 5-shell baked scene with random textures (throughput is
+    texture-content independent)."""
+    from PIL import Image
+
+    from volsurfs_tpu.baking import baker, mesh_io
+    from volsurfs_tpu.baking.marching import extract_mesh_from_fn
+    from volsurfs_tpu.baking.simplify import simplify_mesh
+    from volsurfs_tpu.baking.uv_atlas import compute_atlas
+    from volsurfs_tpu.models.textures import DEG_NR_COEFFS
+
+    os.makedirs(os.path.join(scene_dir, "meshes"), exist_ok=True)
+    os.makedirs(os.path.join(scene_dir, "textures"), exist_ok=True)
+    rng = np.random.default_rng(0)
+
+    meshes_info = []
+    radii = np.linspace(0.42, 0.58, nr_meshes)
+    for mesh_idx, radius in enumerate(radii):
+        def sdf(p, r=radius):
+            # bumpy sphere so the mesh is non-trivial
+            bump = 0.03 * np.sin(8 * p[:, 0]) * np.sin(8 * p[:, 1]) * np.sin(8 * p[:, 2])
+            return np.linalg.norm(p, axis=-1) - r + bump
+
+        v, f = extract_mesh_from_fn(sdf, resolution=mesh_res)
+        v, f = simplify_mesh(v, f, 0.1)
+        v, f, uv = compute_atlas(v, f)
+        mesh_io.save_obj(os.path.join(scene_dir, "meshes", f"{mesh_idx}.obj"), v, f, uv)
+
+        textures_info = []
+        for deg in range(sh_degree + 1):
+            res = int(textures_res[deg])
+            for feat in range(DEG_NR_COEFFS[deg]):
+                img = rng.integers(0, 256, (res, res, 4), dtype=np.uint8)
+                fname = f"mesh_{mesh_idx}_texture_{deg}_feature_{feat}.png"
+                Image.fromarray(img, "RGBA").save(
+                    os.path.join(scene_dir, "textures", fname)
+                )
+                textures_info.append(
+                    {
+                        "texture_path": os.path.join("textures", fname),
+                        "texture_scale": (-15.0, 15.0),
+                        "texture_resolution": (res, res),
+                    }
+                )
+        meshes_info.append(
+            {
+                "mesh_path": os.path.join("meshes", f"{mesh_idx}.obj"),
+                "textures": textures_info,
+                "ignore_alpha": mesh_idx == 0,
+            }
+        )
+    baker.export_scene_json(scene_dir, meshes_info, None, "white", sh_degree)
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    from __graft_entry__ import _tiny_surf
+    from volsurfs_tpu.renderers.mesh_renderer import BakedMeshRenderer
 
-    n_rays = 65536
-    method, state = _tiny_surf(jax.random.PRNGKey(0), occupancy_res=64, rays=256)
+    scene_dir = os.path.join(tempfile.gettempdir(), "volsurfs_bench_scene")
+    if not os.path.exists(os.path.join(scene_dir, "scene.json")):
+        build_scene(scene_dir)
 
-    render = jax.jit(
-        lambda params, grid, rays_o, rays_d: method.render_rays(
-            params, grid, rays_o, rays_d, 100, None, False
-        )["rgb"]
-    )
+    renderer = BakedMeshRenderer(scene_dir, bg_color="white")
 
+    n_rays = 262144  # one 512x512 frame worth of rays
     key = jax.random.PRNGKey(1)
-    d = jax.random.normal(key, (n_rays, 3)) * 0.15 + jnp.asarray([0.0, 0.0, 1.0])
+    d = jax.random.normal(key, (n_rays, 3)) * 0.3 + jnp.asarray([0.0, 0.0, 1.0])
     rays_d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
     rays_o = jnp.tile(jnp.asarray([[0.0, 0.0, -2.0]], jnp.float32), (n_rays, 1))
 
-    # warmup / compile
-    render(state.params, state.grid, rays_o, rays_d).block_until_ready()
+    out = renderer.render_rays(rays_o, rays_d)
+    jax.block_until_ready(out)
 
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = render(state.params, state.grid, rays_o, rays_d)
-    out.block_until_ready()
+        out = renderer.render_rays(rays_o, rays_d)
+    jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 
     mrays_per_sec = (n_rays * iters) / dt / 1e6
-    baseline_target = 1.0
+    baseline_target = 10.0
     print(
         json.dumps(
             {
-                "metric": "surf_volumetric_render_Mrays_per_sec_per_chip",
+                "metric": "volsurfs_5mesh_baked_render_Mrays_per_sec_per_chip",
                 "value": round(mrays_per_sec, 3),
                 "unit": "Mrays/s",
                 "vs_baseline": round(mrays_per_sec / baseline_target, 3),

@@ -1,0 +1,146 @@
+"""Tests for auxiliary subsystems: sphere tracing, profiler, callbacks,
+params/run lifecycle, rendering/visualization utils, activations."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from volsurfs_tpu.ops.raycast import make_bounding_sphere
+from volsurfs_tpu.ops.sphere_tracing import sphere_trace
+
+
+def test_sphere_trace_analytic():
+    bound = make_bounding_sphere(1.0)
+
+    def sdf_fn(p):
+        return jnp.linalg.norm(p, axis=-1, keepdims=True) - 0.5
+
+    R = 64
+    key = jax.random.PRNGKey(0)
+    d = jax.random.normal(key, (R, 3)) * 0.2 + jnp.asarray([0.0, 0.0, 1.0])
+    rays_d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    rays_o = jnp.tile(jnp.asarray([[0.0, 0.0, -2.0]], jnp.float32), (R, 1))
+
+    res = jax.jit(
+        lambda o, dd: sphere_trace(sdf_fn, o, dd, bound, nr_sphere_traces=64)
+    )(rays_o, rays_d)
+
+    # analytic hits
+    oc = np.asarray(rays_o)
+    dn = np.asarray(rays_d)
+    b = np.sum(oc * dn, -1)
+    c = np.sum(oc * oc, -1) - 0.25
+    disc = b * b - c
+    ahit = disc > 1e-4  # exclude exact grazing
+    hit = np.asarray(res["is_hit"])
+    assert (hit[ahit]).mean() > 0.95
+    assert not hit[disc < -1e-3].any()
+    t_true = -b - np.sqrt(np.maximum(disc, 0))
+    z = np.asarray(res["z"])[:, 0]
+    err = np.abs(z[hit & ahit] - t_true[hit & ahit])
+    assert err.max() < 5e-3
+
+
+def test_profiler_sections():
+    from volsurfs_tpu.utils.profiler import Profiler
+
+    p = Profiler()
+    with p.section("work"):
+        sum(range(1000))
+    p.start("other")
+    p.end("other")
+    times = p.avg_times_ms()
+    assert "work" in times and "other" in times
+    assert times["work"] >= 0.0
+
+
+def test_callbacks_and_metrics_logger(tmp_path):
+    from volsurfs_tpu.training.callbacks import (
+        CallbacksGroup,
+        MetricsLoggerCallback,
+        StateCallback,
+    )
+
+    state_cb = StateCallback()
+    logger = MetricsLoggerCallback(str(tmp_path), log_every=1)
+    group = CallbacksGroup([state_cb, logger])
+    group.training_started()
+    group.iter_ended(iter_nr=1, losses={"loss": jnp.asarray(0.5)})
+    group.iter_ended(iter_nr=2, losses={"loss": jnp.asarray(0.25)})
+    group.training_ended()
+    assert state_cb.iters_per_sec > 0
+    lines = open(os.path.join(tmp_path, "metrics.jsonl")).readlines()
+    assert len(lines) == 2
+    import json
+
+    rec = json.loads(lines[1])
+    assert rec["train/loss_loss"] == 0.25
+
+
+def test_params_and_run_lifecycle(tmp_path):
+    from volsurfs_tpu.params.params import (
+        DataParams,
+        PathsParams,
+        TrainParams,
+        init_run,
+    )
+
+    # reference config files parse
+    tp = TrainParams("surf", "/root/reference/config/train_config.cfg")
+    assert tp.compute_test_loss_freq == 1000 and tp.render_freq == 10000
+    dp = DataParams("shelly", "khady", "/root/reference/config/data_config.cfg")
+    assert dp.bg_color == "white" and dp.init_sphere_scale == 0.15
+    pp = PathsParams(datasets="/tmp/d", runs=str(tmp_path))
+
+    run_dir, run_id = init_run(
+        pp.runs_path, "surf", "default", "khady",
+        config_files={"train_config": "/root/reference/config/train_config.cfg"},
+    )
+    assert os.path.isdir(os.path.join(run_dir, "config"))
+    assert os.path.exists(os.path.join(run_dir, "config", "train_config.cfg"))
+    # continue_training picks the same run back up
+    run_dir2, run_id2 = init_run(
+        pp.runs_path, "surf", "default", "khady", continue_training=True
+    )
+    assert run_id2 == run_id
+
+
+def test_visualization_sections():
+    from volsurfs_tpu.utils.visualization import (
+        colorize_sdf_section,
+        field_cross_section,
+    )
+
+    def sdf(p):
+        return np.linalg.norm(p, axis=-1) - 0.5
+
+    vals = field_cross_section(sdf, axis=2, resolution=64)
+    assert vals.shape == (64, 64)
+    assert vals.min() < 0 < vals.max()
+    img = colorize_sdf_section(vals)
+    assert img.shape == (64, 64, 3)
+
+
+def test_truncated_exp_gradient_clamped():
+    from volsurfs_tpu.models.activations import truncated_exp
+
+    g = jax.grad(lambda x: truncated_exp(x, 10.0))(20.0)
+    assert np.isfinite(float(g))
+    assert float(g) <= np.exp(10.0) + 1
+
+
+def test_common_utils():
+    from volsurfs_tpu.utils.common import (
+        linear_to_srgb,
+        next_power_of_2,
+        previous_power_of_2,
+        srgb_to_linear,
+    )
+
+    x = jnp.linspace(0.0, 1.0, 16)
+    round_trip = srgb_to_linear(linear_to_srgb(x))
+    np.testing.assert_allclose(np.asarray(round_trip), np.asarray(x), atol=1e-5)
+    assert next_power_of_2(100) == 128
+    assert previous_power_of_2(100) == 64

@@ -1,0 +1,205 @@
+"""Baker: mesh extraction, simplification, UV atlasing, texture baking and
+scene.json export for the web viewer.
+
+Re-implements the reference baker pipeline (volsurfs_py/baker.py, 1035
+lines): --extract_meshes (marching on the trained SDF level sets, :324-452),
+--simplify_meshes (:682-725), --compute_meshes_xatlas (:727-774) and
+--extract_textures + scene.json (:778-1014). Stages communicate through the
+run directory exactly like the reference (meshes/, meshes_simplified/,
+meshes_simplified_uvs/, textures/, scene.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from volsurfs_tpu.baking import mesh_io
+from volsurfs_tpu.baking.marching import extract_mesh_from_fn
+from volsurfs_tpu.baking.simplify import simplify_mesh
+from volsurfs_tpu.baking.uv_atlas import compute_atlas
+from volsurfs_tpu.models.textures import DEG_NR_COEFFS
+
+
+def extract_meshes_from_surf(method, state, resolution: int = 256, levels=(0.0,)):
+    """Level-set meshes from a trained surf SDF (reference
+    utils/mesh_extraction.py:426-491: marching over a chunked dense grid)."""
+    import jax
+
+    sdf_fn = jax.jit(
+        lambda pts: method._sdf_fn(state.params, pts, state.iter_nr)[0][..., 0]
+    )
+    bounds = float(method.radius)
+    meshes = []
+    for level in levels:
+        v, f = extract_mesh_from_fn(
+            lambda p: np.asarray(sdf_fn(p)), resolution, bounds, level=level
+        )
+        meshes.append((v, f))
+    return meshes
+
+
+def extract_meshes_from_offsets_surfs(method, state, resolution: int = 256):
+    """k zero-level-set meshes, inner -> outer
+    (reference utils/mesh_extraction.py:375-407)."""
+    import jax
+
+    sdfs_fn = jax.jit(
+        lambda pts: method._sdfs_fn(state.params, pts, state.iter_nr)[0][..., 0]
+    )
+    bounds = float(method.radius)
+    meshes = []
+    for surf_idx in range(method.nr_surfs):
+        v, f = extract_mesh_from_fn(
+            lambda p, si=surf_idx: np.asarray(sdfs_fn(p))[:, si],
+            resolution,
+            bounds,
+        )
+        meshes.append((v, f))
+    return meshes
+
+
+def simplify_and_atlas(meshes, target_faces_ratio: float = 0.025):
+    """simplify -> atlas each mesh; returns [(verts, faces, uvs), ...]."""
+    out = []
+    for v, f in meshes:
+        sv, sf = simplify_mesh(v, f, target_faces_ratio)
+        av, af, uv = compute_atlas(sv, sf)
+        out.append((av, af, uv))
+    return out
+
+
+def save_meshes(run_dir: str, meshes, subdir: str = "meshes"):
+    d = os.path.join(run_dir, subdir)
+    os.makedirs(d, exist_ok=True)
+    paths = []
+    for i, mesh in enumerate(meshes):
+        path = os.path.join(d, f"{i}.obj")
+        if len(mesh) == 3:
+            mesh_io.save_obj(path, mesh[0], mesh[1], mesh[2])
+        else:
+            mesh_io.save_obj(path, mesh[0], mesh[1])
+        paths.append(path)
+    return paths
+
+
+def load_meshes(run_dir: str, subdir: str = "meshes"):
+    d = os.path.join(run_dir, subdir)
+    meshes = []
+    for name in sorted(os.listdir(d), key=lambda s: int(os.path.splitext(s)[0])):
+        meshes.append(mesh_io.load_obj(os.path.join(d, name)))
+    return meshes
+
+
+def _texel_center_uvs(res: int):
+    """uv coords of all texel centers, row-major over (y, x), v flipped
+    (texture conventions of models/textures.py)."""
+    x = (np.arange(res) + 0.5) / res
+    y = (np.arange(res) + 0.5) / res
+    uu, vv = np.meshgrid(x, 1.0 - y, indexing="xy")
+    return np.stack([uu.reshape(-1), vv.reshape(-1)], -1).astype(np.float32)
+
+
+def bake_textures(method, state, run_dir: str, batch_size: int = 2**16):
+    """Rasterize every SH band of every mesh's rgb+alpha textures to PNGs and
+    return the meshes_info blocks for scene.json
+    (reference baker.py:778-903 + save_textures_as_png :49-73).
+
+    Output PNGs: one per SH feature, rgb+alpha packed as RGBA, values are the
+    squeezed [0,1] texture outputs; texture_scale records the un-squeeze
+    range.
+    """
+    import jax
+    from PIL import Image
+
+    hp = method.hp
+    assert hp.using_neural_textures, "texture extraction requires neural textures"
+    tex_dir = os.path.join(run_dir, "textures")
+    os.makedirs(tex_dir, exist_ok=True)
+
+    meshes_info = []
+    for mesh_idx in range(method.nr_meshes):
+        rgb_name = f"rgb_{mesh_idx if hp.are_volsurfs_colors_indep else 0}"
+        alpha_name = f"alpha_{mesh_idx if hp.are_volsurfs_alphas_indep else 0}"
+        ignore_alpha = method.solid_inner and mesh_idx == 0
+
+        textures_info = []
+        for deg in range(hp.sh_degree + 1):
+            res = int(hp.textures_res[deg])
+            uvs = _texel_center_uvs(res)
+            nr_coeffs = DEG_NR_COEFFS[deg]
+
+            def bake(params, model, d=deg):
+                fn = jax.jit(
+                    lambda uv: model.apply(
+                        params, d, uv, method=type(model).bake_band
+                    )
+                )
+                chunks = [
+                    np.asarray(fn(uvs[i : i + batch_size]))
+                    for i in range(0, uvs.shape[0], batch_size)
+                ]
+                return np.concatenate(chunks).reshape(res, res, -1)
+
+            rgb_tex = bake(state.params[rgb_name], method.rgb_model)
+            rgb_tex = rgb_tex.reshape(res, res, 3, nr_coeffs)
+            if ignore_alpha:
+                alpha_tex = np.ones((res, res, 1, nr_coeffs), np.float32)
+            else:
+                alpha_tex = bake(state.params[alpha_name], method.alpha_model)
+                alpha_tex = alpha_tex.reshape(res, res, 1, nr_coeffs)
+
+            tex = np.concatenate([rgb_tex, alpha_tex], axis=2)  # [res,res,4,C]
+            tex = np.clip(tex, 0.0, 1.0)
+            tex = np.flipud(tex).copy()
+
+            for feat in range(nr_coeffs):
+                img = (tex[:, :, :, feat] * 255.0).round().astype(np.uint8)
+                fname = f"mesh_{mesh_idx}_texture_{deg}_feature_{feat}.png"
+                Image.fromarray(img).save(os.path.join(tex_dir, fname))
+                textures_info.append(
+                    {
+                        "texture_path": os.path.join("textures", fname),
+                        "texture_scale": (
+                            -float(hp.sh_range[deg]),
+                            float(hp.sh_range[deg]),
+                        ),
+                        "texture_resolution": (res, res),
+                    }
+                )
+
+        meshes_info.append(
+            {
+                "mesh_path": os.path.join("meshes", f"{mesh_idx}.obj"),
+                "textures": textures_info,
+                "ignore_alpha": ignore_alpha,
+            }
+        )
+    return meshes_info
+
+
+def export_scene_json(run_dir: str, meshes_info, mv_data=None, bg_color="black",
+                      sh_degree: int = 3):
+    """scene.json for the WebGL viewer (reference baker.py:959-1012 schema:
+    resolution, bg_color, meshes, cameras with OpenGL matrices)."""
+    scene_info = {"bg_color": bg_color or "black", "sh_degree": sh_degree,
+                  "meshes": meshes_info}
+    if mv_data is not None:
+        split = next(iter(mv_data.splits.values()))
+        cam0 = split.cameras[0]
+        scene_info["resolution"] = [cam0.width, cam0.height]
+        scene_info["cameras"] = {}
+        for split_name, split in mv_data.splits.items():
+            scene_info["cameras"][split_name] = {
+                cam.camera_id: {
+                    "projectionMatrix": cam.get_opengl_projection_matrix().tolist(),
+                    "matrixWorld": cam.get_opengl_matrix_world().tolist(),
+                }
+                for cam in split.cameras
+            }
+    path = os.path.join(run_dir, "scene.json")
+    with open(path, "w") as f:
+        json.dump(scene_info, f, indent=2)
+    return path

@@ -64,6 +64,8 @@ class Trainer:
         log_every: int = 100,
         checkpoint_every: int | None = None,
         seed: int = 0,
+        train_params=None,
+        callbacks=None,
     ):
         self.method = method
         self.mv_data = mv_data
@@ -71,10 +73,19 @@ class Trainer:
         self.update_occupancy_every = update_occupancy_every
         self.log_every = log_every
         self.checkpoint_every = checkpoint_every
+        self.train_params = train_params
+        self.callbacks = callbacks
         os.makedirs(run_dir, exist_ok=True)
 
         train_split = mv_data["train"]
         self.reel = make_tensor_reel(train_split.cameras, train_split.rgbs, train_split.masks)
+        if "test" in mv_data.splits:
+            test_split = mv_data["test"]
+            self.test_reel = make_tensor_reel(
+                test_split.cameras, test_split.rgbs, test_split.masks
+            )
+        else:
+            self.test_reel = None
         self._batch_key = jax.random.PRNGKey(seed + 1234)
         self._batch_fn = jax.jit(
             lambda reel, key: get_next_rays_batch(
@@ -86,13 +97,41 @@ class Trainer:
                 nr_rays_per_pixel=method.hp.nr_training_rays_per_pixel,
             )
         )
+        self._test_loss_fn = None
         self.loss_history = []
+
+    def estimate_test_loss(self, state):
+        """RGB L1 on a random test-ray batch
+        (reference utils/training.py:12-56 estimate_test_loss)."""
+        if self.test_reel is None:
+            return None
+        if self._test_loss_fn is None:
+            hp = self.method.hp
+            render_fn = self.method.make_render_fn()
+
+            def fn(params, grid, reel, key, iter_nr):
+                batch = get_next_rays_batch(
+                    reel, key, hp.training_rays_batch_size, jitter_pixels=False
+                )
+                out = render_fn(params, grid, batch["rays_o"], batch["rays_d"], iter_nr)
+                return jnp.mean(jnp.abs(out["rgb"] - batch["gt_rgb"]))
+
+            self._test_loss_fn = jax.jit(fn)
+        self._batch_key, k = jax.random.split(self._batch_key)
+        return float(
+            self._test_loss_fn(
+                state.params, state.grid, self.test_reel, k, state.iter_nr
+            )
+        )
 
     def train(self, state, end_iter: int | None = None, callback=None):
         hp = self.method.hp
+        tp = self.train_params
         end_iter = end_iter if end_iter is not None else hp.training_end_iter
         t_start = time.time()
         it = int(state.iter_nr)
+        if self.callbacks is not None:
+            self.callbacks.training_started()
         while it < end_iter:
             if (
                 self.method.hp.use_occupancy_grid
@@ -115,12 +154,42 @@ class Trainer:
                     f"({iters_per_sec:.1f} it/s)",
                     flush=True,
                 )
+            if self.callbacks is not None:
+                self.callbacks.iter_ended(iter_nr=it, losses=losses)
             if callback is not None:
                 callback(it, state, losses)
+
+            # cadenced side work (reference trainer.py:334-397)
+            if tp is not None:
+                if tp.compute_test_loss and it % tp.compute_test_loss_freq == 0:
+                    tl = self.estimate_test_loss(state)
+                    if tl is not None:
+                        print(f"iter {it} test loss {tl:.5f}", flush=True)
+                if it % tp.render_freq == 0 and "test" in self.mv_data.splits:
+                    from volsurfs_tpu.utils.rendering import (
+                        render_from_camera,
+                        save_image_png,
+                    )
+
+                    cam = self.mv_data["test"].cameras[it // tp.render_freq
+                                                       % len(self.mv_data["test"].cameras)]
+                    buffers = render_from_camera(self, state, cam)
+                    for name, img in buffers.items():
+                        save_image_png(
+                            img,
+                            os.path.join(self.run_dir, "renders", name),
+                            f"{it:07d}",
+                        )
+                if tp.save_checkpoints and it % tp.checkpoint_freq == 0:
+                    checkpoints.save_checkpoint(
+                        os.path.join(self.run_dir, "checkpoints"), state
+                    )
             if self.checkpoint_every and it % self.checkpoint_every == 0:
                 checkpoints.save_checkpoint(
                     os.path.join(self.run_dir, "checkpoints"), state
                 )
+        if self.callbacks is not None:
+            self.callbacks.training_ended()
         checkpoints.save_checkpoint(os.path.join(self.run_dir, "checkpoints"), state)
         return state
 
