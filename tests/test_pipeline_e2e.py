@@ -1,0 +1,104 @@
+"""Full pipeline integration test: surf -> offsets_surfs -> bake ->
+volsurfs -> textures + scene.json -> baked re-render (the whole
+reference train.sh chain on a tiny synthetic scene)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from volsurfs_tpu.datasets.mvdataset import MVDataset
+from volsurfs_tpu.params.hyper_params import (
+    HyperParamsOffsetsSuRFs,
+    HyperParamsSuRF,
+    HyperParamsVolSurfs,
+)
+from volsurfs_tpu.pipeline import run_pipeline
+from volsurfs_tpu.renderers.mesh_renderer import BakedMeshRenderer
+
+
+@pytest.mark.slow
+def test_full_pipeline(tmp_path):
+    mv = MVDataset(
+        "synthetic", "sphere", "",
+        config={"width": 32, "height": 32, "nr_train_cameras": 8, "nr_test_cameras": 2},
+    )
+    common = dict(
+        training_rays_batch_size=96,
+        max_nr_samples_per_ray=16,
+        max_nr_imp_samples_per_ray=8,
+        do_importance_sampling=True,
+        lr=3e-3,
+        lr_milestones=[10000],
+        geom_feat_size=16,
+        nr_samples_bg=8,
+        sdf_encoding_type="gridhash",
+        rgb_pos_encoder_type="gridhash",
+    )
+    surf_hp = HyperParamsSuRF(
+        init_phase_end_iter=60,
+        first_phase_end_iter=400,
+        training_end_iter=220,
+        nr_warmup_iters=10,
+        eikonal_weight=0.04,
+        offsurface_weight=1e-4,
+        sdf_nr_iters_for_c2f=0,
+        **common,
+    )
+    offsets_hp = HyperParamsOffsetsSuRFs(
+        init_phase_end_iter=80,
+        color_init_phase_end_iter=100,
+        first_phase_end_iter=160,
+        training_end_iter=180,
+        nr_warmup_iters=8,
+        nr_inner_surfs=1,
+        nr_outer_surfs=1,
+        eikonal_weight=0.04,
+        support_surfs_eikonal_weight=0.04,
+        offsurface_weight=1e-4,
+        sdf_nr_iters_for_c2f=0,
+        **common,
+    )
+    volsurfs_hp = HyperParamsVolSurfs(
+        training_rays_batch_size=128,
+        training_end_iter=60,
+        nr_warmup_iters=5,
+        lr=5e-3,
+        lr_milestones=[10000],
+        using_neural_textures=True,
+        using_neural_textures_lerp=True,
+        using_sh_squeezing=True,
+        appearance_predict_sh_coeffs=True,
+        sh_degree=1,
+        sh_range=[8, 8, 8, 8],
+        textures_res=[64, 64, 64, 64],
+        rgb_normal_dep=False,
+        transp_normal_dep=False,
+        rgb_geom_feat_dep=False,
+        geom_feat_size=0,
+        is_inner_mesh_solid=True,
+        use_occupancy_grid=False,
+    )
+
+    results = run_pipeline(
+        mv, str(tmp_path), surf_hp, offsets_hp, volsurfs_hp,
+        occupancy_res=24, mesh_extraction_res=32, simplify_ratio=0.3,
+        init_sphere_radius=0.4,
+    )
+
+    # all stages ran; at least the main + one offset shell extracted (a
+    # barely-trained offset may leave the grid and be skipped)
+    assert len(results["meshes"]) >= 2
+    for v_count, f_count in results["meshes"]:
+        assert v_count > 10 and f_count > 10
+    assert os.path.exists(results["scene_json"])
+
+    # metrics are finite; the surf stage should reconstruct the easy sphere
+    assert np.isfinite(results["surf_test_metrics"]["psnr"])
+    assert results["surf_test_metrics"]["psnr"] > 10.0
+
+    # baked scene re-renders
+    renderer = BakedMeshRenderer(results["volsurfs_dir"])
+    img = renderer.render(mv["test"].cameras[0])
+    assert img.shape == (32, 32, 3)
+    assert np.isfinite(img).all()

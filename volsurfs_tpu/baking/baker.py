@@ -62,10 +62,22 @@ def extract_meshes_from_offsets_surfs(method, state, resolution: int = 256):
 
 
 def simplify_and_atlas(meshes, target_faces_ratio: float = 0.025):
-    """simplify -> atlas each mesh; returns [(verts, faces, uvs), ...]."""
+    """simplify -> atlas each mesh; returns [(verts, faces, uvs), ...].
+
+    Empty extractions (a level set that left the grid bounds, e.g. offsets
+    not yet converged) are dropped with a warning rather than crashing the
+    pipeline."""
     out = []
-    for v, f in meshes:
+    for i, (v, f) in enumerate(meshes):
+        if f.shape[0] < 4:
+            print(
+                f"WARNING: mesh {i} extraction is empty/degenerate "
+                f"({f.shape[0]} faces); skipping this shell"
+            )
+            continue
         sv, sf = simplify_mesh(v, f, target_faces_ratio)
+        if sf.shape[0] < 4:
+            sv, sf = v, f  # simplification degenerated; keep the original
         av, af, uv = compute_atlas(sv, sf)
         out.append((av, af, uv))
     return out

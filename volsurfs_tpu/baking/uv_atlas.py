@@ -218,6 +218,12 @@ def compute_atlas(verts: np.ndarray, faces: np.ndarray):
 
     Returns (new_verts [V', 3], new_faces [F, 3], uvs [V', 2]).
     """
+    if faces.shape[0] == 0:
+        return (
+            verts.astype(np.float32),
+            faces.astype(np.int32),
+            np.zeros((verts.shape[0], 2), np.float32),
+        )
     chart = grow_charts(verts, faces)
     n_charts = chart.max() + 1
 
