@@ -1,0 +1,55 @@
+"""Longer surf convergence run on the synthetic scene -> PSNR evidence.
+
+Run: python scripts/convergence_run.py [--iters 1500] [--platform cpu]
+Writes results to runs/convergence/results.json.
+"""
+import argparse, json, os, sys, time
+
+parser = argparse.ArgumentParser()
+parser.add_argument("--iters", type=int, default=1500)
+parser.add_argument("--platform", default=None)
+parser.add_argument("--out", default="runs/convergence")
+args = parser.parse_args()
+
+import jax
+if args.platform:
+    jax.config.update("jax_platforms", args.platform)
+
+from volsurfs_tpu.params.hyper_params import HyperParamsSuRF
+from volsurfs_tpu.datasets.mvdataset import MVDataset
+from volsurfs_tpu.ops.raycast import make_bounding_sphere
+from volsurfs_tpu.methods.surf import Surf
+from volsurfs_tpu.training.trainer import Trainer
+from volsurfs_tpu.utils.evaluation import render_and_eval
+
+hp = HyperParamsSuRF(
+    is_nr_training_rays_dynamic=False,
+    training_rays_batch_size=256,
+    max_nr_samples_per_ray=32,
+    max_nr_imp_samples_per_ray=16,
+    do_importance_sampling=True,
+    init_phase_end_iter=200,
+    first_phase_end_iter=args.iters,
+    training_end_iter=args.iters,
+    nr_warmup_iters=100,
+    lr=3e-3,
+    lr_milestones=[int(args.iters*0.8), int(args.iters*0.9)],
+    eikonal_weight=0.04,
+    offsurface_weight=1e-4,
+    curvature_weight=0.0,
+    geom_feat_size=32,
+    sdf_nr_iters_for_c2f=0,
+    nr_samples_bg=8,
+)
+mv = MVDataset("synthetic", "sphere", "", config={"width": 64, "height": 64, "nr_train_cameras": 24, "nr_test_cameras": 4})
+method = Surf(hp, make_bounding_sphere(1.0), bg_color="white", init_sphere_radius=0.4, occupancy_res=64, key=jax.random.PRNGKey(0))
+trainer = Trainer(method, mv, args.out, log_every=100)
+t0 = time.time()
+state = trainer.train(method.init_state())
+train_time = time.time() - t0
+means = render_and_eval(trainer, state, "test", os.path.join(args.out, "eval"))
+result = {"iters": args.iters, "train_time_s": round(train_time, 1),
+          "iters_per_sec": round(args.iters / train_time, 2), **{k: round(v, 3) for k, v in means.items()}}
+with open(os.path.join(args.out, "results.json"), "w") as f:
+    json.dump(result, f, indent=2)
+print("RESULT:", json.dumps(result))

@@ -29,6 +29,7 @@ def test_bake_and_rerender(tmp_path):
     meshes = [(v, f, uv)]
 
     hp = HyperParamsVolSurfs(
+        is_nr_training_rays_dynamic=False,
         training_rays_batch_size=128,
         training_end_iter=25,
         nr_warmup_iters=2,

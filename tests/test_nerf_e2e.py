@@ -12,6 +12,7 @@ from volsurfs_tpu.training.trainer import Trainer
 
 def test_nerf_trains_and_renders(tmp_path):
     hp = HyperParamsNeRF(
+        is_nr_training_rays_dynamic=False,
         training_rays_batch_size=64,
         max_nr_samples_per_ray=16,
         max_nr_imp_samples_per_ray=8,

@@ -19,6 +19,7 @@ def test_offsets_gt_layout():
 
 def test_offsets_surfs_phases_train(tmp_path):
     hp = HyperParamsOffsetsSuRFs(
+        is_nr_training_rays_dynamic=False,
         training_rays_batch_size=48,
         max_nr_samples_per_ray=12,
         max_nr_imp_samples_per_ray=8,

@@ -24,6 +24,7 @@ def test_full_pipeline(tmp_path):
         config={"width": 32, "height": 32, "nr_train_cameras": 8, "nr_test_cameras": 2},
     )
     common = dict(
+        is_nr_training_rays_dynamic=False,
         training_rays_batch_size=96,
         max_nr_samples_per_ray=16,
         max_nr_imp_samples_per_ray=8,
@@ -60,6 +61,7 @@ def test_full_pipeline(tmp_path):
         **common,
     )
     volsurfs_hp = HyperParamsVolSurfs(
+        is_nr_training_rays_dynamic=False,
         training_rays_batch_size=128,
         training_end_iter=60,
         nr_warmup_iters=5,

@@ -19,6 +19,7 @@ from volsurfs_tpu.training.trainer import Trainer
 @pytest.fixture(scope="module")
 def setup():
     hp = HyperParamsSuRF(
+        is_nr_training_rays_dynamic=False,
         training_rays_batch_size=64,
         max_nr_samples_per_ray=16,
         max_nr_imp_samples_per_ray=8,

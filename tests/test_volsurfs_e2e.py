@@ -33,6 +33,7 @@ def shell_meshes():
 
 def test_volsurfs_trains_and_renders(shell_meshes, tmp_path):
     hp = HyperParamsVolSurfs(
+        is_nr_training_rays_dynamic=False,
         training_rays_batch_size=128,
         training_end_iter=30,
         nr_warmup_iters=4,

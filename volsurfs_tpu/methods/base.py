@@ -30,6 +30,17 @@ class TrainState:
     iter_nr: jnp.ndarray  # int32 scalar
 
 
+def grad_norms(grads) -> dict:
+    """Per-model gradient L2 norms for observability
+    (reference utils/training.py:108-125 logs these to wandb)."""
+    out = {}
+    for name, sub in grads.items():
+        leaves = jax.tree_util.tree_leaves(sub)
+        sq = sum(jnp.sum(leaf.astype(jnp.float32) ** 2) for leaf in leaves)
+        out[f"grad_norm/{name}"] = jnp.sqrt(sq)
+    return out
+
+
 def make_optimizer(hp, warmup_start_iter: int = 0):
     """FusedAdam(betas=(0.9, 0.99), eps=1e-15) + MultiStepLR(gamma 0.3) +
     linear warmup (reference base_method.py:60-94, schedulers/warmup.py)."""

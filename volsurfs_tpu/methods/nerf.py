@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from volsurfs_tpu.methods.base import TrainState, make_optimizer
+from volsurfs_tpu.methods.base import TrainState, grad_norms, make_optimizer
 from volsurfs_tpu.methods.surf import render_contracted_bg
 from volsurfs_tpu.models import fields as F
 from volsurfs_tpu.ops import raycast as RC
@@ -229,6 +229,7 @@ class NeRF:
             "rgb": loss_rgb,
             "sparsity": loss_sparsity,
             "mask": loss_mask,
+            "nr_samples_total": jnp.sum(res["nr_samples"]) if "nr_samples" in res else jnp.asarray(0),
         }
 
     # ---- steps ----------------------------------------------------------------
@@ -248,6 +249,7 @@ class NeRF:
             (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params
             )
+            losses = {**losses, **grad_norms(grads)}
             updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             return (

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from volsurfs_tpu.methods.base import TrainState, make_optimizer
+from volsurfs_tpu.methods.base import TrainState, grad_norms, make_optimizer
 from volsurfs_tpu.methods.surf import render_contracted_bg
 from volsurfs_tpu.models import fields as F
 from volsurfs_tpu.models.field_utils import (
@@ -527,6 +527,7 @@ class OffsetsSurfs:
             "eikonal_supp": loss_eik_supp,
             "loss_offsurface_high_sdf": loss_offsurface,
             "curvature": loss_curv,
+            "nr_samples_total": jnp.sum(res["nr_samples"]) if "nr_samples" in res else jnp.asarray(0),
         }
 
     # ---- steps ------------------------------------------------------------------
@@ -556,6 +557,7 @@ class OffsetsSurfs:
             (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params
             )
+            losses = {**losses, **grad_norms(grads)}
             updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             return (

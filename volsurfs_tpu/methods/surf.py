@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from volsurfs_tpu.methods.base import TrainState, make_optimizer
+from volsurfs_tpu.methods.base import TrainState, grad_norms, make_optimizer
 from volsurfs_tpu.models import fields as F
 from volsurfs_tpu.models.field_utils import get_field_gradients, get_sdf_curvature
 from volsurfs_tpu.ops import raycast as RC
@@ -405,6 +405,7 @@ class Surf:
             "curvature": loss_curv,
             "offsurface_high_sdf": loss_offsurface,
             "lipshitz": loss_lipshitz,
+            "nr_samples_total": jnp.sum(res["nr_samples"]) if "nr_samples" in res else jnp.asarray(0),
         }
         return loss, losses
 
@@ -445,6 +446,7 @@ class Surf:
                 (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                     state.params
                 )
+                losses = {**losses, **grad_norms(grads)}
                 updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
                 params = optax.apply_updates(state.params, updates)
                 return (
@@ -471,6 +473,7 @@ class Surf:
                 (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                     state.params
                 )
+                losses = {**losses, **grad_norms(grads)}
                 updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
                 params = optax.apply_updates(state.params, updates)
                 return (

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from volsurfs_tpu.methods.base import TrainState, make_optimizer
+from volsurfs_tpu.methods.base import TrainState, grad_norms, make_optimizer
 from volsurfs_tpu.methods.surf import render_contracted_bg
 from volsurfs_tpu.models import fields as F
 from volsurfs_tpu.models.textures import SHNeuralTextures
@@ -322,6 +322,7 @@ class VolSurfs:
             (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params
             )
+            losses = {**losses, **grad_norms(grads)}
             updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             return (

@@ -64,6 +64,53 @@ def lpips(gt: np.ndarray, pred: np.ndarray) -> float:
     return float("nan")
 
 
+def eval_rendered_imgs(renders_dir: str, gt_dir: str, split_name: str = "test"):
+    """Evaluate pre-rendered PNG pairs from disk (reference
+    utils/evaluation.py:186-250 eval_rendered_imgs: matches gt/pred files by
+    name). Returns a PerSceneEvaluator with per-image rows filled."""
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    evaluator = PerSceneEvaluator(split_name)
+    names = sorted(
+        f for f in os.listdir(renders_dir) if f.lower().endswith(".png")
+    )
+    for name in names:
+        gt_path = os.path.join(gt_dir, name)
+        if not os.path.exists(gt_path):
+            continue
+        pred = np.asarray(Image.open(os.path.join(renders_dir, name)), np.float32) / 255.0
+        gt = np.asarray(Image.open(gt_path), np.float32) / 255.0
+        pred, gt = pred[..., :3], gt[..., :3]
+        evaluator.update(os.path.splitext(name)[0], gt, pred)
+    return evaluator
+
+
+def render_and_eval(trainer, state, split_name: str, out_dir: str):
+    """Render a full split, save PNGs, evaluate, write csv (reference
+    utils/evaluation.py:252-348; skips nothing — re-renders every camera)."""
+    import os
+
+    import numpy as np
+
+    from volsurfs_tpu.utils.rendering import save_image_png
+
+    split = trainer.mv_data[split_name]
+    evaluator = PerSceneEvaluator(split_name)
+    for i, cam in enumerate(split.cameras):
+        out = trainer.render_camera(state, cam)
+        pred = np.clip(out["rgb"], 0, 1)
+        save_image_png(pred, os.path.join(out_dir, "rgb"), f"{cam.camera_id:03d}")
+        save_image_png(
+            split.rgbs[i], os.path.join(out_dir, "gt"), f"{cam.camera_id:03d}"
+        )
+        evaluator.update(cam.camera_id, split.rgbs[i], pred)
+    evaluator.save_csv(out_dir)
+    return evaluator.means()
+
+
 class PerSceneEvaluator:
     """Accumulates per-image metrics and writes a csv
     (reference utils/evaluation.py:16-83 layout)."""
