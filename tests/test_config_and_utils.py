@@ -1,0 +1,159 @@
+"""Config files + small utility parity tests (dilation, debug guards, SG)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+
+
+# ---- config files ----------------------------------------------------------
+
+
+def test_all_shipped_configs_parse():
+    from volsurfs_tpu.params.hyper_params import get_method_hyper_params
+
+    cfg_root = os.path.join(REPO, "config")
+    count = 0
+    for method in ("surf", "nerf", "offsets_surfs", "volsurfs"):
+        mdir = os.path.join(cfg_root, method)
+        for fname in sorted(os.listdir(mdir)):
+            hp = get_method_hyper_params(method, os.path.join(mdir, fname))
+            assert hp.training_end_iter > 0
+            count += 1
+    assert count == 13  # 2 surf + 1 nerf + 5 offsets + 5 volsurfs
+
+
+def test_config_values_match_reference_workload():
+    """Spot-check headline values documented in BASELINE.md."""
+    from volsurfs_tpu.params.hyper_params import get_method_hyper_params
+
+    surf = get_method_hyper_params("surf", os.path.join(REPO, "config/surf/base.cfg"))
+    assert surf.training_end_iter == 100000
+    assert surf.max_nr_samples_per_ray == 64
+    assert surf.max_nr_imp_samples_per_ray == 32
+    assert surf.training_rays_batch_size == 512
+    assert surf.eikonal_weight == pytest.approx(0.04)
+
+    offs5 = get_method_hyper_params(
+        "offsets_surfs", os.path.join(REPO, "config/offsets_surfs/base_5.cfg")
+    )
+    assert offs5.nr_inner_surfs == 4 and offs5.nr_outer_surfs == 0
+
+    vs5 = get_method_hyper_params(
+        "volsurfs", os.path.join(REPO, "config/volsurfs/base_5.cfg")
+    )
+    assert vs5.textures_res == [2048, 1024, 512, 256]
+    assert vs5.using_neural_textures and vs5.using_sh_quantization
+
+
+def test_train_and_data_params():
+    from volsurfs_tpu.params.params import DataParams, PathsParams, TrainParams
+
+    tp = TrainParams("surf", os.path.join(REPO, "config/train_config.cfg"))
+    assert tp.compute_test_loss_freq == 1000 and tp.render_freq == 10000
+    dp = DataParams("shelly", "khady", os.path.join(REPO, "config/data_config.cfg"))
+    assert dp.bg_color == "white" and dp.init_sphere_scale == pytest.approx(0.15)
+    pp = PathsParams(os.path.join(REPO, "config/paths_config.cfg"))
+    assert pp.runs_path
+
+
+# ---- texture dilation ------------------------------------------------------
+
+
+def test_dilate_texture_fills_empty_texels():
+    from volsurfs_tpu.baking.texture_utils import dilate_texture
+
+    img = np.zeros((8, 8, 3), np.float32)
+    img[4, 4] = [1.0, 0.5, 0.25]
+    out, occ = dilate_texture(img, nr_iterations=10)
+    assert occ.all()
+    # propagated color is preserved exactly (single source)
+    np.testing.assert_allclose(out[0, 0], [1.0, 0.5, 0.25], atol=1e-6)
+    np.testing.assert_allclose(out[4, 4], img[4, 4])
+
+
+def test_dilate_texture_respects_iteration_budget():
+    from volsurfs_tpu.baking.texture_utils import dilate_texture
+
+    img = np.zeros((16, 16, 1), np.float32)
+    img[0, 0] = 1.0
+    _, occ = dilate_texture(img, nr_iterations=2)
+    assert occ[2, 2] and not occ[8, 8]
+
+
+def test_sample_surface_texels_roundtrip():
+    """Texels inside UV islands map back onto the triangle's 3D plane."""
+    from volsurfs_tpu.baking.texture_utils import sample_surface_texels
+
+    verts = np.array(
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]], np.float32
+    )
+    faces = np.array([[0, 1, 2], [1, 3, 2]], np.int32)
+    uvs = np.array([[0, 0], [1, 0], [0, 1], [1, 1]], np.float32)
+    pos, nrm, occ = sample_surface_texels(verts, faces, uvs, res=16)
+    assert occ.mean() > 0.9  # full square covered
+    assert np.allclose(pos[occ][:, 2], 0.0, atol=1e-5)
+    assert np.allclose(np.abs(nrm[occ][:, 2]), 1.0, atol=1e-4)
+
+
+# ---- debug guards ----------------------------------------------------------
+
+
+def test_sanity_check_and_finite_guard():
+    from volsurfs_tpu.utils.debug import (
+        count_nonfinite,
+        finite_or_zero,
+        sanity_check,
+        tree_sanity_check,
+    )
+
+    sanity_check(x=np.ones(3))
+    with pytest.raises(AssertionError, match="has nan"):
+        sanity_check(bad=np.array([1.0, np.nan]))
+    with pytest.raises(AssertionError, match="has inf"):
+        sanity_check(bad=np.array([np.inf]))
+
+    x = jnp.asarray([1.0, jnp.nan, jnp.inf, -2.0])
+    np.testing.assert_allclose(finite_or_zero(x), [1.0, 0.0, 0.0, -2.0])
+    tree = {"a": jnp.ones(2), "b": {"c": jnp.asarray([jnp.nan])}}
+    assert int(count_nonfinite(tree)) == 1
+    with pytest.raises(AssertionError):
+        tree_sanity_check(tree)
+
+
+# ---- spherical gaussians ---------------------------------------------------
+
+
+def test_eval_sg_matches_formula():
+    from volsurfs_tpu.models.encodings import eval_sg
+
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    lam = jax.random.uniform(k1, (4, 5), minval=1.0, maxval=10.0)
+    mu = jax.random.normal(k2, (4, 5, 3))
+    mu = mu / jnp.linalg.norm(mu, axis=-1, keepdims=True)
+    coeffs = jax.random.normal(k3, (4, 5, 3))
+    dirs = jax.random.normal(k4, (4, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    out = eval_sg(lam, mu, coeffs, dirs)
+    ref = np.zeros((4, 3))
+    for b in range(4):
+        for lobe in range(5):
+            basis = np.exp(float(lam[b, lobe]) * (float(mu[b, lobe] @ dirs[b]) - 1.0))
+            ref[b] += np.asarray(coeffs[b, lobe]) * basis
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_sg_encoder_peak_at_lobe_axis():
+    from volsurfs_tpu.models.encodings import SphericalGaussianEncoder
+
+    enc = SphericalGaussianEncoder(nr_lobes=8)
+    dirs = jnp.asarray([[0.0, 0.0, 1.0], [0.0, 0.0, -1.0]])
+    out = enc.apply({}, dirs)
+    assert out.shape == (2, 8)
+    assert float(out.max()) <= 1.0 + 1e-6 and float(out.min()) >= 0.0

@@ -215,3 +215,138 @@ def export_scene_json(run_dir: str, meshes_info, mv_data=None, bg_color="black",
     with open(path, "w") as f:
         json.dump(scene_info, f, indent=2)
     return path
+
+
+def main():
+    """Baker CLI (reference baker.py:76-201 main + arg parsing): loads a
+    trained run from the run directory, then performs the requested stages
+    (--extract_meshes / --simplify_meshes / --compute_meshes_xatlas /
+    --extract_bg_mesh / --extract_textures)."""
+    import argparse
+
+    import jax
+
+    from volsurfs_tpu.datasets.mvdataset import MVDataset
+    from volsurfs_tpu.ops.raycast import make_bounding_sphere
+    from volsurfs_tpu.params.hyper_params import get_method_hyper_params
+    from volsurfs_tpu.params.params import DataParams, PathsParams
+    from volsurfs_tpu.training import checkpoints
+    from volsurfs_tpu.training.trainer import make_method
+
+    parser = argparse.ArgumentParser("volsurfs_tpu baker")
+    parser.add_argument("--method", required=True,
+                        choices=["surf", "nerf", "offsets_surfs", "volsurfs"])
+    parser.add_argument("--dataset", default="synthetic")
+    parser.add_argument("--scene", default="sphere")
+    parser.add_argument("--exp_name", default="default")
+    parser.add_argument("--run_id", required=True)
+    parser.add_argument("--paths_config", default=None)
+    parser.add_argument("--data_config", default=None)
+    parser.add_argument("--datasets_path", default=None)
+    parser.add_argument("--runs_path", default=None)
+    parser.add_argument("--meshes_path", default=None)
+    parser.add_argument("--extract_meshes", action="store_true")
+    parser.add_argument("--simplify_meshes", action="store_true")
+    parser.add_argument("--compute_meshes_xatlas", action="store_true")
+    parser.add_argument("--extract_bg_mesh", action="store_true")
+    parser.add_argument("--extract_textures", action="store_true")
+    parser.add_argument("--extraction_res", type=int, default=256)
+    parser.add_argument("--simplify_ratio", type=float, default=0.025)
+    parser.add_argument("--occupancy_res", type=int, default=256)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+
+    cfg_dir = os.path.join(os.path.dirname(__file__), "..", "..", "config")
+    paths_cfg = args.paths_config or os.path.join(cfg_dir, "paths_config.cfg")
+    data_cfg = args.data_config or os.path.join(cfg_dir, "data_config.cfg")
+    paths = PathsParams(paths_cfg if os.path.exists(paths_cfg) else None,
+                        datasets=args.datasets_path, runs=args.runs_path)
+    data_params = DataParams(
+        args.dataset, args.scene, data_cfg if os.path.exists(data_cfg) else None
+    )
+
+    run_dir = os.path.join(
+        paths.runs_path, args.method, args.exp_name, args.scene, args.run_id
+    )
+    exp_cfg = os.path.join(run_dir, "config", "exp_config.cfg")
+    if not os.path.exists(exp_cfg):
+        raise SystemExit(f"no exp config under {run_dir}/config")
+    hp = get_method_hyper_params(args.method, exp_cfg)
+
+    mv_data = MVDataset(args.dataset, args.scene, paths.datasets_path,
+                        config=dict(data_params.dict))
+    bounding = make_bounding_sphere(mv_data.scene_radius)
+    method_kwargs = {}
+    if args.method == "volsurfs":
+        meshes_dir = args.meshes_path or os.path.join(run_dir, "meshes")
+        mesh_files = sorted(
+            f for f in os.listdir(meshes_dir) if f.endswith(".obj")
+        )
+        method_kwargs["meshes"] = [
+            mesh_io.load_obj(os.path.join(meshes_dir, f)) for f in mesh_files
+        ]
+        method_kwargs["bounding_primitive"] = bounding
+    method = make_method(
+        args.method, hp, bounding, mv_data.bg_color or data_params.bg_color,
+        args.occupancy_res, jax.random.PRNGKey(args.seed), **method_kwargs,
+    )
+    state = checkpoints.load_checkpoint(
+        os.path.join(run_dir, "checkpoints"), method.init_state()
+    )
+    print(f"loaded {args.method} checkpoint at iter {int(state.iter_nr)}")
+
+    if args.extract_meshes:
+        if args.method == "offsets_surfs":
+            raw = extract_meshes_from_offsets_surfs(
+                method, state, resolution=args.extraction_res
+            )
+        else:
+            raw = extract_meshes_from_surf(
+                method, state, resolution=args.extraction_res
+            )
+        out = os.path.join(run_dir, "meshes_raw")
+        os.makedirs(out, exist_ok=True)
+        for idx, (v, f) in enumerate(raw):
+            mesh_io.save_obj(os.path.join(out, f"{idx}.obj"), v, f)
+        print(f"extracted {len(raw)} meshes -> {out}")
+
+    if args.simplify_meshes or args.compute_meshes_xatlas:
+        src = os.path.join(run_dir, "meshes_raw")
+        raw = []
+        for fname in sorted(f for f in os.listdir(src) if f.endswith(".obj")):
+            v, f, _ = mesh_io.load_obj(os.path.join(src, fname))
+            raw.append((v, f))
+        meshes = simplify_and_atlas(raw, args.simplify_ratio)
+        save_meshes(run_dir, meshes)
+        print(f"simplified+atlased {len(meshes)} meshes -> {run_dir}/meshes")
+
+    if args.extract_bg_mesh:
+        from volsurfs_tpu.baking.tsdf import fuse_depths
+        from volsurfs_tpu.training.trainer import Trainer
+
+        trainer = Trainer(method, mv_data, run_dir)
+        split = mv_data["train"]
+        depths, cams = [], []
+        for i, cam in enumerate(split.cameras):
+            out_frame = trainer.render_camera(state, cam)
+            if "depth" in out_frame:
+                depths.append(out_frame["depth"][..., 0])
+                cams.append(cam)
+        if depths:
+            v, f = fuse_depths(depths, cams, resolution=args.extraction_res // 2,
+                               bounds=float(mv_data.scene_radius) * 2.0)
+            mesh_io.save_obj(os.path.join(run_dir, "bg_mesh.obj"), v, f)
+            print(f"bg mesh: {v.shape[0]} verts")
+
+    if args.extract_textures:
+        assert args.method == "volsurfs", "--extract_textures requires volsurfs"
+        meshes_info = bake_textures(method, state, run_dir)
+        scene_path = export_scene_json(
+            run_dir, meshes_info, mv_data,
+            bg_color=mv_data.bg_color or "black", sh_degree=hp.sh_degree,
+        )
+        print(f"scene.json -> {scene_path}")
+
+
+if __name__ == "__main__":
+    main()

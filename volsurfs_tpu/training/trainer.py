@@ -66,6 +66,8 @@ class Trainer:
         seed: int = 0,
         train_params=None,
         callbacks=None,
+        profiler=None,
+        distiller=None,
     ):
         self.method = method
         self.mv_data = mv_data
@@ -75,6 +77,8 @@ class Trainer:
         self.checkpoint_every = checkpoint_every
         self.train_params = train_params
         self.callbacks = callbacks
+        self.profiler = profiler
+        self.distiller = distiller
         os.makedirs(run_dir, exist_ok=True)
 
         train_split = mv_data["train"]
@@ -87,18 +91,45 @@ class Trainer:
         else:
             self.test_reel = None
         self._batch_key = jax.random.PRNGKey(seed + 1234)
-        self._batch_fn = jax.jit(
-            lambda reel, key: get_next_rays_batch(
-                reel,
-                key,
-                method.hp.training_rays_batch_size
-                * method.hp.nr_training_rays_per_pixel,
-                jitter_pixels=method.hp.jitter_training_rays,
-                nr_rays_per_pixel=method.hp.nr_training_rays_per_pixel,
-            )
-        )
+        # dynamic ray count (reference trainer.py:289-304 multiplies the ray
+        # count by target/actual samples every iteration). Arbitrary batch
+        # sizes would force a recompile per change, so the count is quantized
+        # to power-of-2 buckets: each bucket compiles once and is reused.
+        self._rays_bucket = int(method.hp.training_rays_batch_size)
+        self._min_bucket = max(32, self._rays_bucket // 8)
+        self._max_bucket = self._rays_bucket * 8
+        self._batch_fn_cache = {}
         self._test_loss_fn = None
         self.loss_history = []
+
+    def _batch_fn(self, reel, key):
+        n = self._rays_bucket
+        if n not in self._batch_fn_cache:
+            hp = self.method.hp
+            self._batch_fn_cache[n] = jax.jit(
+                lambda reel, key, n=n: get_next_rays_batch(
+                    reel,
+                    key,
+                    n * hp.nr_training_rays_per_pixel,
+                    jitter_pixels=hp.jitter_training_rays,
+                    nr_rays_per_pixel=hp.nr_training_rays_per_pixel,
+                )
+            )
+        return self._batch_fn_cache[n](reel, key)
+
+    def _adjust_ray_bucket(self, losses):
+        """Pick the power-of-2 ray bucket whose sample count is closest to
+        target_nr_of_training_samples."""
+        hp = self.method.hp
+        if not hp.is_nr_training_rays_dynamic or "nr_samples_total" not in losses:
+            return
+        actual = float(losses["nr_samples_total"])
+        if actual <= 0:
+            return
+        target = float(hp.target_nr_of_training_samples)
+        ideal = self._rays_bucket * target / actual
+        bucket = 2 ** int(round(np.log2(max(ideal, 1.0))))
+        self._rays_bucket = int(np.clip(bucket, self._min_bucket, self._max_bucket))
 
     def estimate_test_loss(self, state):
         """RGB L1 on a random test-ray batch
@@ -133,16 +164,34 @@ class Trainer:
         if self.callbacks is not None:
             self.callbacks.training_started()
         while it < end_iter:
+            prof = self.profiler
             if (
                 self.method.hp.use_occupancy_grid
                 and it % self.update_occupancy_every == 0
                 and hasattr(self.method, "update_occupancy_grid")
             ):
+                if prof:
+                    prof.start("update_occupancy_grid")
                 state = self.method.update_occupancy_grid(state)
+                if prof:
+                    prof.end("update_occupancy_grid")
 
             self._batch_key, k = jax.random.split(self._batch_key)
+            if prof:
+                prof.start("ray_gen")
             batch = self._batch_fn(self.reel, k)
+            if self.distiller is not None:
+                # teacher-supervised fraction of the batch
+                # (reference trainer.py:150-175 distillation rays)
+                self._batch_key, kd = jax.random.split(self._batch_key)
+                batch = self.distiller.mix_batch(batch, kd)
+            if prof:
+                prof.end("ray_gen")
+                prof.start("training_iteration")
             state, losses = self.method.train_step(state, batch)
+            if prof:
+                prof.end("training_iteration")
+            self._adjust_ray_bucket(losses)
             it += 1
 
             if it % self.log_every == 0 or it == end_iter:
@@ -217,62 +266,138 @@ class Trainer:
         return evaluator.means()
 
 
+def _repo_config(*parts):
+    return os.path.join(os.path.dirname(__file__), "..", "..", "config", *parts)
+
+
 def main():
+    """CLI mirroring reference trainer.py main() (:443-733): three-tier config
+    (paths/train/data + per-method experiment cfg), init_run directory
+    lifecycle, cross-stage model transfer via --models_path / --meshes_path."""
+    from volsurfs_tpu.params.params import (
+        DataParams,
+        PathsParams,
+        TrainParams,
+        init_run,
+    )
+
     parser = argparse.ArgumentParser("volsurfs_tpu trainer")
     parser.add_argument("--method", required=True,
                         choices=["surf", "nerf", "offsets_surfs", "volsurfs"])
     parser.add_argument("--dataset", default="synthetic")
     parser.add_argument("--scene", default="sphere")
-    parser.add_argument("--datasets_path", default="./data")
-    parser.add_argument("--runs_path", default="./runs")
     parser.add_argument("--exp_name", default="default")
     parser.add_argument("--run_id", default=None)
-    parser.add_argument("--exp_config", default=None, help="hjson config path")
+    parser.add_argument("--exp_config", default=None, help="hjson experiment config")
+    parser.add_argument("--paths_config", default=None)
+    parser.add_argument("--train_config", default=None)
+    parser.add_argument("--data_config", default=None)
+    parser.add_argument("--datasets_path", default=None, help="override paths cfg")
+    parser.add_argument("--runs_path", default=None, help="override paths cfg")
+    parser.add_argument("--models_path", default=None,
+                        help="models dir of a previous stage (offsets_surfs "
+                             "loads sdf.msgpack, volsurfs loads bg.msgpack; "
+                             "reference offsets_surfs.sh:93-94)")
+    parser.add_argument("--meshes_path", default=None,
+                        help="directory of .obj shells for volsurfs "
+                             "(reference volsurfs.sh:100-104)")
     parser.add_argument("--train_iters", type=int, default=None)
     parser.add_argument("--lr", type=float, default=None)
-    parser.add_argument("--subsample_factor", type=int, default=1)
+    parser.add_argument("--subsample_factor", type=int, default=None)
     parser.add_argument("--occupancy_res", type=int, default=256)
     parser.add_argument("--continue_training", action="store_true")
     parser.add_argument("--eval_test", action="store_true")
+    parser.add_argument("--eval_train", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
 
+    # --- three-tier config (SURVEY.md §5.6) ---------------------------------
     if args.exp_config is None:
-        args.exp_config = os.path.join(
-            os.path.dirname(__file__), "..", "..", "config", args.method, "base.cfg"
-        )
+        base = "base_5.cfg" if args.method in ("offsets_surfs", "volsurfs") else "base.cfg"
+        args.exp_config = _repo_config(args.method, base)
+    paths_cfg = args.paths_config or _repo_config("paths_config.cfg")
+    train_cfg = args.train_config or _repo_config("train_config.cfg")
+    data_cfg = args.data_config or _repo_config("data_config.cfg")
+    paths = PathsParams(
+        paths_cfg if os.path.exists(paths_cfg) else None,
+        datasets=args.datasets_path, runs=args.runs_path,
+    )
+    train_params = TrainParams(
+        args.method, train_cfg if os.path.exists(train_cfg) else None
+    )
+    data_params = DataParams(
+        args.dataset, args.scene, data_cfg if os.path.exists(data_cfg) else None
+    )
+
     hp = get_method_hyper_params(args.method, args.exp_config)
     if args.train_iters is not None:
         hp.training_end_iter = args.train_iters
     if args.lr is not None:
         hp.lr = args.lr
 
-    config = {"subsample_factor": args.subsample_factor}
-    mv_data = MVDataset(args.dataset, args.scene, args.datasets_path, config=config)
+    config = dict(data_params.dict)
+    if args.subsample_factor is not None:
+        config["subsample_factor"] = args.subsample_factor
+    mv_data = MVDataset(args.dataset, args.scene, paths.datasets_path, config=config)
 
-    run_id = args.run_id or time.strftime("%Y-%m-%d-%H%M%S")
-    run_dir = os.path.join(
-        args.runs_path, args.method, args.exp_name, args.scene, run_id
+    run_dir, run_id = init_run(
+        paths.runs_path, args.method, args.exp_name, args.scene,
+        run_id=args.run_id, continue_training=args.continue_training,
+        config_files={
+            "exp_config": args.exp_config,
+            "train_config": train_cfg if os.path.exists(train_cfg) else None,
+            "data_config": data_cfg if os.path.exists(data_cfg) else None,
+        },
     )
-    os.makedirs(run_dir, exist_ok=True)
     with open(os.path.join(run_dir, "config.json"), "w") as f:
         json.dump({k: str(v) for k, v in vars(args).items()}, f, indent=2)
 
     bounding = make_bounding_sphere(mv_data.scene_radius)
+    method_kwargs = {}
+    if args.method == "volsurfs":
+        from volsurfs_tpu.baking.mesh_io import load_obj
+
+        if args.meshes_path is None:
+            raise SystemExit("volsurfs requires --meshes_path with .obj shells")
+        mesh_files = sorted(
+            f for f in os.listdir(args.meshes_path) if f.endswith(".obj")
+        )
+        method_kwargs["meshes"] = [
+            load_obj(os.path.join(args.meshes_path, f)) for f in mesh_files
+        ]
+        method_kwargs["bounding_primitive"] = bounding
     method = make_method(
-        args.method, hp, bounding, mv_data.bg_color, args.occupancy_res,
-        jax.random.PRNGKey(args.seed),
+        args.method, hp, bounding, mv_data.bg_color or data_params.bg_color,
+        args.occupancy_res, jax.random.PRNGKey(args.seed), **method_kwargs,
     )
     state = method.init_state()
-    trainer = Trainer(method, mv_data, run_dir, seed=args.seed)
+
+    # cross-stage transfer (reference offsets_surfs.py:248-261, volsurfs.py:394-405)
+    if args.models_path:
+        sdf_path = os.path.join(args.models_path, "sdf.msgpack")
+        if args.method == "offsets_surfs" and os.path.exists(sdf_path):
+            surf_sdf = checkpoints.load_model_params(
+                sdf_path, state.params["sdf"]
+            )
+            state = method.load_main_sdf(state, surf_sdf)
+        bg_path = os.path.join(args.models_path, "bg.msgpack")
+        if "bg" in state.params and os.path.exists(bg_path):
+            params = dict(state.params)
+            params["bg"] = checkpoints.load_model_params(bg_path, params["bg"])
+            state = state.replace(params=params)
+
+    trainer = Trainer(
+        method, mv_data, run_dir, seed=args.seed, train_params=train_params
+    )
     if args.continue_training:
         state = checkpoints.load_checkpoint(
             os.path.join(run_dir, "checkpoints"), state
         )
     state = trainer.train(state)
-    if args.eval_test:
-        means = trainer.eval_split(state, "test")
-        print("test metrics:", means)
+    if args.eval_test or train_params.eval_test:
+        print("test metrics:", trainer.eval_split(state, "test"))
+    if args.eval_train or train_params.eval_train:
+        print("train metrics:", trainer.eval_split(state, "train"))
 
 
 if __name__ == "__main__":
