@@ -62,3 +62,31 @@ def test_entry_compiles():
     fn, args = entry()
     out = jax.jit(fn)(*args)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_render_rays_sharded_helper():
+    """render_rays_sharded pads, shards and strips padding correctly."""
+    from flax import struct
+
+    mesh = M.make_mesh()
+
+    @struct.dataclass
+    class FakeState:
+        params: dict
+        grid: object
+        iter_nr: jnp.ndarray
+
+    def render_fn(params, grid, rays_o, rays_d, iter_nr):
+        return {"rgb": rays_o * params["gain"] + rays_d}
+
+    state = FakeState(
+        params={"gain": jnp.asarray(2.0)}, grid=None, iter_nr=jnp.asarray(0)
+    )
+    # 100 is not divisible by 8 -> exercises padding
+    rays_o = jnp.arange(300, dtype=jnp.float32).reshape(100, 3)
+    rays_d = jnp.ones((100, 3), jnp.float32)
+    out = M.render_rays_sharded(render_fn, state, rays_o, rays_d, mesh)
+    assert out["rgb"].shape == (100, 3)
+    np.testing.assert_allclose(
+        out["rgb"], np.asarray(rays_o) * 2.0 + 1.0, rtol=1e-6
+    )

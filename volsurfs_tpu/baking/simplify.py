@@ -31,7 +31,7 @@ def load_native():
     global _LIB
     if _LIB is not None:
         return _LIB
-    src_files = ["mesh_simplify.cpp"]
+    src_files = ["mesh_simplify.cpp", "bvh_build.cpp"]
     srcs = [os.path.join(_native_dir(), f) for f in src_files]
     out = os.path.join(_build_dir(), "libmesh_native.so")
     needs_build = not os.path.exists(out) or any(
@@ -48,6 +48,15 @@ def load_native():
         ctypes.c_int,
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_int),
+    ]
+    _LIB.bvh_build_sah.restype = ctypes.c_int
+    _LIB.bvh_build_sah.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
     ]
     return _LIB
 

@@ -353,6 +353,54 @@ class PermutoEncoder(nn.Module):
         return feats, out_of_bounds
 
 
+def spher2cart(r, theta, phi):
+    """Spherical -> Cartesian (reference encodings/sphericalgaussians.py:31-39)."""
+    sin_t = jnp.sin(theta)
+    return jnp.stack(
+        [r * sin_t * jnp.cos(phi), r * sin_t * jnp.sin(phi), r * jnp.cos(theta)],
+        axis=-1,
+    )
+
+
+def eval_sg(sg_lambda, sg_mu, sg_coeffs, dirs):
+    """Evaluate a spherical-gaussian mixture at view directions
+    (reference encodings/sphericalgaussians.py:42-72: per-lobe
+    ``coeffs * exp(lambda * (dot(mu, d) - 1))`` summed over lobes).
+
+    sg_lambda: [..., K] sharpness (kept positive via abs like the reference),
+    sg_mu: [..., K, 3] lobe axes, sg_coeffs: [..., K, C], dirs: [..., 3].
+    Returns [..., C].
+    """
+    sg_lambda = jnp.abs(sg_lambda)
+    dots = jnp.sum(sg_mu * dirs[..., None, :], axis=-1)  # [..., K]
+    basis = jnp.exp(sg_lambda * (dots - 1.0))
+    return jnp.sum(sg_coeffs * basis[..., None], axis=-2)
+
+
+class SphericalGaussianEncoder(nn.Module):
+    """Fixed Fibonacci-lattice SG basis over directions; the trainable
+    coefficients live in the consuming MLP (unused by any reference config —
+    encodings/sphericalgaussians.py has no imports — but kept for API parity).
+    Output: [..., nr_lobes] basis values."""
+
+    nr_lobes: int = 16
+    sharpness: float = 8.0
+
+    @property
+    def output_dim(self):
+        return self.nr_lobes
+
+    @nn.compact
+    def __call__(self, dirs, iter_nr=None):
+        k = jnp.arange(self.nr_lobes, dtype=jnp.float32)
+        golden = (1.0 + 5.0**0.5) / 2.0
+        theta = jnp.arccos(1.0 - 2.0 * (k + 0.5) / self.nr_lobes)
+        phi = 2.0 * jnp.pi * k / golden
+        mu = spher2cart(1.0, theta, phi)  # [K, 3]
+        dots = dirs @ mu.T
+        return jnp.exp(self.sharpness * (dots - 1.0))
+
+
 def get_encoder(encoding: str, **kwargs):
     """Encoder factory (reference volsurfs_py/utils/encoder.py:8-45)."""
     if encoding == "none":
@@ -363,6 +411,11 @@ def get_encoder(encoding: str, **kwargs):
         )
     if encoding == "spherical_harmonics":
         return SHEncoder(degree=kwargs.get("degree", 3))
+    if encoding == "spherical_gaussians":
+        return SphericalGaussianEncoder(
+            nr_lobes=kwargs.get("nr_lobes", 16),
+            sharpness=kwargs.get("sharpness", 8.0),
+        )
     if encoding == "permutohash":
         return PermutoEncoder(
             input_dim=kwargs.get("input_dim", 3),
@@ -379,5 +432,6 @@ def get_encoder(encoding: str, **kwargs):
         )
     raise NotImplementedError(
         f"unknown encoding {encoding}; choose from "
-        "[none, frequency, spherical_harmonics, permutohash, gridhash]"
+        "[none, frequency, spherical_harmonics, spherical_gaussians, "
+        "permutohash, gridhash]"
     )

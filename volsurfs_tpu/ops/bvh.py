@@ -43,10 +43,67 @@ class BVH:
     tri_id: jnp.ndarray
 
 
+def _build_bvh_native(verts, faces, leaf_size):
+    """Binned-SAH build via the native C++ library (native/bvh_build.cpp):
+    better trees (fewer node visits per ray) and a much faster build than the
+    Python median split. Returns None if the native library is unavailable."""
+    import ctypes
+
+    try:
+        from volsurfs_tpu.baking.simplify import load_native
+
+        lib = load_native()
+    except Exception:
+        return None
+
+    nf = faces.shape[0]
+    v32 = np.ascontiguousarray(verts, np.float32)
+    f32 = np.ascontiguousarray(faces, np.int32)
+    cap = 2 * nf
+    node_lo = np.empty((cap, 3), np.float32)
+    node_hi = np.empty((cap, 3), np.float32)
+    node_skip = np.empty(cap, np.int32)
+    node_first = np.empty(cap, np.int32)
+    leaf_tri = np.empty(cap * leaf_size, np.int32)
+    n_slots = ctypes.c_int(0)
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int)
+    n = lib.bvh_build_sah(
+        v32.ctypes.data_as(fp), v32.shape[0],
+        f32.ctypes.data_as(ip), nf, leaf_size,
+        node_lo.ctypes.data_as(fp), node_hi.ctypes.data_as(fp),
+        node_skip.ctypes.data_as(ip), node_first.ctypes.data_as(ip),
+        leaf_tri.ctypes.data_as(ip), ctypes.byref(n_slots),
+    )
+    if n <= 0:
+        return None
+
+    v0 = v32[f32[:, 0]]
+    e1 = v32[f32[:, 1]] - v0
+    e2 = v32[f32[:, 2]] - v0
+    tri_idx = leaf_tri[: n_slots.value]
+    valid = tri_idx >= 0
+    safe = np.where(valid, tri_idx, 0)
+    return BVH(
+        node_lo=jnp.asarray(node_lo[:n]),
+        node_hi=jnp.asarray(node_hi[:n]),
+        node_skip=jnp.asarray(node_skip[:n]),
+        node_first=jnp.asarray(node_first[:n]),
+        tri_v0=jnp.asarray(np.where(valid[:, None], v0[safe], 0.0)),
+        tri_e1=jnp.asarray(np.where(valid[:, None], e1[safe], 0.0)),
+        tri_e2=jnp.asarray(np.where(valid[:, None], e2[safe], 0.0)),
+        tri_id=jnp.asarray(np.where(valid, tri_idx, -1).astype(np.int32)),
+    )
+
+
 def build_bvh(verts: np.ndarray, faces: np.ndarray, leaf_size: int = LEAF_TRIS) -> BVH:
-    """Median-split BVH over triangles; flattened depth-first with miss links."""
+    """Flattened depth-first BVH with miss links. Uses the native binned-SAH
+    builder when available, else the Python median split."""
     verts = np.asarray(verts, np.float32)
     faces = np.asarray(faces, np.int64)
+    native = _build_bvh_native(verts, faces, leaf_size)
+    if native is not None:
+        return native
     v0 = verts[faces[:, 0]]
     v1 = verts[faces[:, 1]]
     v2 = verts[faces[:, 2]]

@@ -46,6 +46,26 @@ def replicate_state(state, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), state)
 
 
+def render_rays_sharded(render_fn, state, rays_o, rays_d, mesh: Mesh):
+    """Full-batch render with rays sharded across the mesh and params/grid
+    replicated (the multi-chip eval path; SURVEY.md §5.8). Pads the ray count
+    to a shard multiple and strips the padding from the host-side result.
+
+    render_fn: (params, grid, rays_o, rays_d, iter_nr) -> dict of [R, ...].
+    """
+    import jax.numpy as jnp
+
+    batch, n = pad_rays_to_multiple(
+        {"o": jnp.asarray(rays_o), "d": jnp.asarray(rays_d)}, mesh.size
+    )
+    sharding = ray_sharding(mesh)
+    o = jax.device_put(batch["o"], sharding)
+    d = jax.device_put(batch["d"], sharding)
+    state_r = replicate_state(state, mesh)
+    out = jax.jit(render_fn)(state_r.params, state_r.grid, o, d, state_r.iter_nr)
+    return {k: np.asarray(v)[:n] for k, v in out.items()}
+
+
 def pad_rays_to_multiple(rays: dict, multiple: int):
     """Pad every leaf's leading axis to a multiple (sharding needs equal
     shards); returns (padded batch, original count)."""

@@ -87,7 +87,11 @@ class BakedMeshRenderer:
                     arr = np.flipud(arr).copy()  # undo the export flip
                     feats.append(arr)
                     scale = info["texture_scale"]
-                per_deg.append(jnp.asarray(np.stack(feats, axis=-1)))  # [H,W,4,C]
+                # fp16 storage: halves HBM gather traffic; filtering is fp16
+                # anyway (WebGL parity, reference neural_texture.py:104-140)
+                per_deg.append(
+                    jnp.asarray(np.stack(feats, axis=-1), jnp.float16)
+                )  # [H,W,4,C]
                 scales.append(scale)
             self.textures.append(per_deg)
             self.tex_scales.append(scales)
