@@ -1,14 +1,19 @@
-"""Benchmark: 5-mesh baked VolSurfs render throughput on the real chip.
+"""Benchmark: 5-mesh baked VolSurfs frame-render throughput on the real chip.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
 North-star metric (BASELINE.json): Mrays/sec/chip on the 5-mesh baked
 render — the reference paper's real-time path (k alpha-blended SH-textured
-meshes, reference volsurfs_py/renderers/mesh_renderer.py). The scene is a
-procedurally baked 5-shell stand-in for Shelly with the reference texture
-pyramid ([2048,1024,512,256], SH degree 3). The reference publishes no
-numbers (BASELINE.md), so vs_baseline is reported against a fixed internal
-target of 10 Mrays/s until a measured reference baseline exists.
+meshes drawn by the WebGL viewer; reference
+volsurfs_py/renderers/mesh_renderer.py + viewer FPS HUD viewer.py:185-214).
+Workload: 512x512 orbit-camera frames through the tile-binned rasterizer
+(volsurfs_tpu/renderers/raster.py) with bilinear fp16 texture filtering and
+SH degree 3, texture pyramid [2048,1024,512,256]. Frames are enqueued
+back-to-back and synced once (frames stay on device like any real-time
+swapchain; one frame is read back and checked finite). The reference
+publishes no numbers (BASELINE.md), so vs_baseline is reported against a
+fixed internal target of 10 Mrays/s until a measured reference baseline
+exists.
 """
 
 from __future__ import annotations
@@ -81,6 +86,7 @@ def main():
     import jax.numpy as jnp
 
     from volsurfs_tpu.renderers.mesh_renderer import BakedMeshRenderer
+    from volsurfs_tpu.renderers.viewer import OrbitCamera
 
     scene_dir = os.path.join(tempfile.gettempdir(), "volsurfs_bench_scene")
     if not os.path.exists(os.path.join(scene_dir, "scene.json")):
@@ -88,23 +94,31 @@ def main():
 
     renderer = BakedMeshRenderer(scene_dir, bg_color="white")
 
-    n_rays = 262144  # one 512x512 frame worth of rays
-    key = jax.random.PRNGKey(1)
-    d = jax.random.normal(key, (n_rays, 3)) * 0.3 + jnp.asarray([0.0, 0.0, 1.0])
-    rays_d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-    rays_o = jnp.tile(jnp.asarray([[0.0, 0.0, -2.0]], jnp.float32), (n_rays, 1))
+    res = 512
+    nr_frames = 16
 
-    out = renderer.render_rays(rays_o, rays_d)
-    jax.block_until_ready(out)
+    def cam(i):
+        oc = OrbitCamera(res, res, radius=2.0)
+        oc.azimuth = 2.0 * 3.14159265 * i / nr_frames
+        oc.elevation = 0.3
+        return oc.camera()
 
-    iters = 10
+    # warmup + correctness: compile, check overflow-free and finite
+    img = renderer.render_frame(cam(0))
+    assert img.shape == (res, res, 3)
+    assert float(np.isfinite(img).mean()) == 1.0
+
+    # throughput: enqueue all frames, sync once via an accumulated scalar
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = renderer.render_rays(rays_o, rays_d)
-    jax.block_until_ready(out)
+    acc = jnp.zeros(())
+    for i in range(nr_frames):
+        frame, _ = renderer.render_frame_device(cam(i))
+        acc = acc + frame.mean()
+    acc = float(acc)  # forces completion of every enqueued frame
     dt = time.perf_counter() - t0
+    assert np.isfinite(acc)
 
-    mrays_per_sec = (n_rays * iters) / dt / 1e6
+    mrays_per_sec = (res * res * nr_frames) / dt / 1e6
     baseline_target = 10.0
     print(
         json.dumps(

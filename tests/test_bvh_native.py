@@ -69,3 +69,44 @@ def test_native_and_python_traces_agree(mesh):
     np.testing.assert_array_equal(
         np.asarray(hit_a["triangles_id"]), np.asarray(hit_b["triangles_id"])
     )
+
+
+def test_trace_all_matches_per_mesh_trace(mesh):
+    import jax.numpy as jnp
+
+    from volsurfs_tpu.ops import bvh as B
+
+    v, f = mesh
+    shells = []
+    for scale in (0.8, 1.0, 1.2):
+        shells.append(B.build_bvh(v * scale, f))
+    stacked = B.stack_bvhs(shells)
+
+    rng = np.random.default_rng(7)
+    n = 128
+    rays_o = np.tile(np.array([[0.0, 0.0, -2.0]], np.float32), (n, 1))
+    dirs = np.concatenate(
+        [rng.uniform(-0.5, 0.5, (n, 2)), np.ones((n, 1))], axis=1
+    ).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    rays_o, dirs = jnp.asarray(rays_o), jnp.asarray(dirs)
+
+    all_hits = B.trace_all(stacked, rays_o, dirs)
+    for i, bvh in enumerate(shells):
+        single = B.trace(bvh, rays_o, dirs)
+        np.testing.assert_array_equal(
+            np.asarray(all_hits["is_hit"][i]), np.asarray(single["is_hit"])
+        )
+        np.testing.assert_allclose(
+            np.asarray(all_hits["depth"][i]), np.asarray(single["depth"]),
+            atol=1e-5,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(all_hits["triangles_id"][i]),
+            np.asarray(single["triangles_id"]),
+        )
+        np.testing.assert_allclose(
+            np.asarray(all_hits["barycentric"][i]),
+            np.asarray(single["barycentric"]),
+            atol=1e-6,
+        )

@@ -1,0 +1,153 @@
+"""Tile-binned rasterizer vs BVH tracer: identical hits, matching frames."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from volsurfs_tpu.baking import baker, mesh_io
+from volsurfs_tpu.baking.marching import extract_mesh_from_fn
+from volsurfs_tpu.baking.simplify import simplify_mesh
+from volsurfs_tpu.baking.uv_atlas import compute_atlas
+from volsurfs_tpu.models.textures import DEG_NR_COEFFS
+from volsurfs_tpu.renderers import raster
+from volsurfs_tpu.renderers.viewer import OrbitCamera
+
+
+@pytest.fixture(scope="module")
+def baked_scene(tmp_path_factory):
+    """Tiny 3-shell baked scene with random textures."""
+    from PIL import Image
+
+    scene_dir = str(tmp_path_factory.mktemp("baked"))
+    os.makedirs(os.path.join(scene_dir, "meshes"), exist_ok=True)
+    os.makedirs(os.path.join(scene_dir, "textures"), exist_ok=True)
+    rng = np.random.default_rng(0)
+    sh_degree = 1
+    meshes_info = []
+    for mi, radius in enumerate([0.45, 0.5, 0.55]):
+        def sdf(p, r=radius):
+            return np.linalg.norm(p, axis=-1) - r
+
+        v, f = extract_mesh_from_fn(sdf, resolution=20)
+        v, f = simplify_mesh(v, f, 0.5)
+        v, f, uv = compute_atlas(v, f)
+        mesh_io.save_obj(os.path.join(scene_dir, "meshes", f"{mi}.obj"), v, f, uv)
+        textures_info = []
+        for deg in range(sh_degree + 1):
+            for feat in range(DEG_NR_COEFFS[deg]):
+                img = rng.integers(0, 256, (32, 32, 4), dtype=np.uint8)
+                fname = f"mesh_{mi}_t{deg}_f{feat}.png"
+                Image.fromarray(img, "RGBA").save(
+                    os.path.join(scene_dir, "textures", fname)
+                )
+                textures_info.append({
+                    "texture_path": os.path.join("textures", fname),
+                    "texture_scale": (-4.0, 4.0),
+                    "texture_resolution": (32, 32),
+                })
+        meshes_info.append({
+            "mesh_path": os.path.join("meshes", f"{mi}.obj"),
+            "textures": textures_info,
+            "ignore_alpha": mi == 0,
+        })
+    baker.export_scene_json(scene_dir, meshes_info, None, "white", sh_degree)
+    return scene_dir
+
+
+def test_raster_hits_match_bvh(baked_scene):
+    """Per-pixel closest hits from the rasterizer equal the BVH tracer."""
+    from volsurfs_tpu.datasets.cameras import get_camera_rays
+    from volsurfs_tpu.ops import bvh as B
+    from volsurfs_tpu.renderers.mesh_renderer import BakedMeshRenderer
+
+    r = BakedMeshRenderer(baked_scene, bg_color="white")
+    cam = OrbitCamera(32, 32, radius=2.0).camera()
+    intr = jnp.asarray(cam.intrinsics, jnp.float32)
+    c2w = jnp.asarray(cam.pose, jnp.float32)
+    w2c = jnp.asarray(np.linalg.inv(cam.pose), jnp.float32)
+
+    rays_o, rays_d = get_camera_rays(cam)
+    bvh_hits = B.trace_all(r.stacked_bvh, rays_o, rays_d)
+
+    dirs, origin = raster.tile_rays(intr, c2w, cam.width, cam.height)
+    for i, mesh in enumerate(r.meshes):
+        budget = int(mesh.faces.shape[0])  # full budget: no overflow possible
+        cand, ovf = raster.bin_triangles(
+            mesh.verts, mesh.faces, intr, w2c, cam.width, cam.height, budget
+        )
+        assert not bool(np.asarray(ovf).any())
+        is_hit, t, u, v, f = raster.raster_mesh(
+            r._scene["raster_tables"][i], cand, dirs, origin
+        )
+        # tiles -> row-major pixel order
+        def flat(x):
+            return np.asarray(
+                raster.tiles_to_image(
+                    jnp.asarray(x)[..., None], cam.width, cam.height
+                )
+            ).reshape(-1)
+
+        np.testing.assert_array_equal(
+            flat(is_hit).astype(bool), np.asarray(bvh_hits["is_hit"][i])
+        )
+        hit_mask = np.asarray(bvh_hits["is_hit"][i])
+        np.testing.assert_allclose(
+            flat(t)[hit_mask],
+            np.asarray(bvh_hits["depth"][i])[:, 0][hit_mask],
+            rtol=1e-4, atol=1e-5,
+        )
+        np.testing.assert_array_equal(
+            flat(f)[hit_mask], np.asarray(bvh_hits["triangles_id"][i])[hit_mask]
+        )
+
+
+def test_raster_frame_matches_bvh_frame(baked_scene):
+    from volsurfs_tpu.renderers.mesh_renderer import BakedMeshRenderer
+
+    r = BakedMeshRenderer(baked_scene, bg_color="white")
+    cam = OrbitCamera(48, 48, radius=2.0).camera()
+    img_bvh = r.render(cam)
+    img_ras = r.render_frame(cam)
+    assert img_ras.shape == img_bvh.shape
+    assert np.abs(img_ras - img_bvh).mean() < 0.02
+    # background corners white in both
+    assert np.allclose(img_ras[:3, :3], 1.0, atol=1e-3)
+
+
+def test_bin_triangles_2level_matches_single(baked_scene):
+    from volsurfs_tpu.renderers.mesh_renderer import BakedMeshRenderer
+
+    r = BakedMeshRenderer(baked_scene, bg_color="white")
+    cam = OrbitCamera(64, 64, radius=2.0).camera()
+    intr = jnp.asarray(cam.intrinsics, jnp.float32)
+    w2c = jnp.asarray(np.linalg.inv(cam.pose), jnp.float32)
+    for mesh in r.meshes:
+        budget = int(mesh.faces.shape[0])
+        c1, o1 = raster.bin_triangles(
+            mesh.verts, mesh.faces, intr, w2c, 64, 64, budget
+        )
+        c2, o2 = raster.bin_triangles_2level(
+            mesh.verts, mesh.faces, intr, w2c, 64, 64, budget
+        )
+        c1, c2, o1, o2 = map(np.asarray, (c1, c2, o1, o2))
+        assert not o1.any() and not o2.any()
+        for tile in range(c1.shape[0]):
+            assert set(c1[tile][c1[tile] >= 0]) == set(c2[tile][c2[tile] >= 0])
+
+
+def test_overflow_flag_fires_when_budget_too_small(baked_scene):
+    from volsurfs_tpu.renderers.mesh_renderer import BakedMeshRenderer
+
+    r = BakedMeshRenderer(baked_scene, bg_color="white")
+    cam = OrbitCamera(16, 16, radius=2.0).camera()  # few tiles, many tris each
+    intr = jnp.asarray(cam.intrinsics, jnp.float32)
+    w2c = jnp.asarray(np.linalg.inv(cam.pose), jnp.float32)
+    mesh = r.meshes[-1]
+    _, ovf = raster.bin_triangles(
+        mesh.verts, mesh.faces, intr, w2c, 16, 16, 4
+    )
+    assert bool(np.asarray(ovf).any())

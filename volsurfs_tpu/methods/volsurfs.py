@@ -50,6 +50,11 @@ class VolSurfs:
             B.make_tensor_mesh(v, f, uv) for (v, f, uv) in meshes
         ]
         self.bvhs = [B.build_bvh(v, f) for (v, f, uv) in meshes]
+        self.stacked_bvh = B.stack_bvhs(self.bvhs)
+        # mesh/BVH arrays are threaded through jit as ARGUMENTS (a closed-over
+        # jnp array becomes an HLO constant, which bloats the executable for
+        # large scenes and overflows remote-compile transports)
+        self.scene = {"stacked_bvh": self.stacked_bvh, "meshes": self.tensor_meshes}
 
         self.nr_rgb_models = self.nr_meshes if hp.are_volsurfs_colors_indep else 1
         self.nr_alpha_models = self.nr_meshes if hp.are_volsurfs_alphas_indep else 1
@@ -199,7 +204,9 @@ class VolSurfs:
 
     # ---- rendering (reference volsurfs.py:423-760) -----------------------------
 
-    def render_rays(self, params, grid, rays_o, rays_d, iter_nr, key, train: bool):
+    def render_rays(self, params, grid, rays_o, rays_d, iter_nr, key, train: bool,
+                    scene=None):
+        scene = scene if scene is not None else self.scene
         hp = self.hp
         R = rays_o.shape[0]
         raycast = RC.intersect_bounding_primitive(
@@ -209,9 +216,12 @@ class VolSurfs:
 
         surfs_rgb, surfs_alpha, surfs_hits = [], [], []
         surfs_normals, surfs_depths, surfs_uvs = [], [], []
+        # one lockstep traversal for all k shells (vs. the reference's k
+        # sequential CUDA launches, volsurfs.py:480-488)
+        hits_all = B.trace_all(scene["stacked_bvh"], rays_o, rays_d)
         for i in range(self.nr_meshes):
-            hit = B.trace(self.bvhs[i], rays_o, rays_d)
-            mesh = self.tensor_meshes[i]
+            hit = {k_: v[i] for k_, v in hits_all.items()}
+            mesh = scene["meshes"][i]
             is_hit = hit["is_hit"]
             uv = mesh.face_attr(mesh.uvs, hit["triangles_id"], hit["barycentric"])
             normals = mesh.face_attr(
@@ -291,10 +301,11 @@ class VolSurfs:
 
     # ---- loss (reference volsurfs.py:763-816: L1 only) --------------------------
 
-    def _loss(self, params, batch, iter_nr, key):
+    def _loss(self, params, batch, iter_nr, key, scene):
         hp = self.hp
         res = self.render_rays(
-            params, None, batch["rays_o"], batch["rays_d"], iter_nr, key, True
+            params, None, batch["rays_o"], batch["rays_d"], iter_nr, key, True,
+            scene=scene,
         )
         pred_rgb = res["rgb"]
         if hp.nr_training_rays_per_pixel > 1:
@@ -313,11 +324,11 @@ class VolSurfs:
         return self._jit_cache[name]
 
     def train_step(self, state: TrainState, batch):
-        def step_fn(state, batch):
+        def step_fn(state, batch, scene):
             k, k_loss = jax.random.split(state.key)
 
             def loss_fn(params):
-                return self._loss(params, batch, state.iter_nr, k_loss)
+                return self._loss(params, batch, state.iter_nr, k_loss, scene)
 
             (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params
@@ -332,14 +343,20 @@ class VolSurfs:
                 losses,
             )
 
-        return self._get_jitted("step", step_fn, donate_argnums=(0,))(state, batch)
+        return self._get_jitted("step", step_fn, donate_argnums=(0,))(
+            state, batch, self.scene
+        )
 
     def make_render_fn(self, chunk_size: int = 2048):
-        def render(params, grid, rays_o, rays_d, iter_nr):
-            res = self.render_rays(params, grid, rays_o, rays_d, iter_nr, None, False)
+        def render(params, grid, rays_o, rays_d, iter_nr, scene):
+            res = self.render_rays(
+                params, grid, rays_o, rays_d, iter_nr, None, False, scene=scene
+            )
             return {
                 "rgb": res["rgb"],
                 "bg_transmittance": res["bg_transmittance"],
             }
 
-        return self._get_jitted("render", render)
+        jitted = self._get_jitted("render", render)
+        # scene arrays are injected at call time so they are jit ARGUMENTS
+        return lambda p, g, o, d, i: jitted(p, g, o, d, i, self.scene)

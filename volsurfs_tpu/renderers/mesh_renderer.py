@@ -22,6 +22,7 @@ from volsurfs_tpu.baking import mesh_io
 from volsurfs_tpu.models.textures import DEG_NR_COEFFS
 from volsurfs_tpu.ops import bvh as B
 from volsurfs_tpu.ops.sh import sh_eval
+from volsurfs_tpu.renderers import raster
 
 
 def _bilinear_sample(tex, uv):
@@ -96,15 +97,47 @@ class BakedMeshRenderer:
             self.textures.append(per_deg)
             self.tex_scales.append(scales)
 
+        self.stacked_bvh = B.stack_bvhs(self.bvhs)
+        # Scene arrays are passed to the jitted render as ARGUMENTS, never
+        # captured by closure: closed-over jnp arrays become compile-time
+        # constants embedded in the HLO, which bloats the executable (and
+        # overflows remote-compile transports) for multi-hundred-MB texture
+        # pyramids. As runtime inputs they live in HBM once and the
+        # executable stays small.
+        # flat per-(mesh, band) texture tables [H*W, 4C] fp16: the four
+        # bilinear corners are fetched with ONE gather per table (the TPU
+        # gather rate depends on table size, so tables stay per-mesh —
+        # merging meshes into one 5x bigger table measures ~60% slower).
+        self.nr_meshes = len(self.meshes)
+        self.band_tex = [
+            [
+                self.textures[m][deg].reshape(-1, self.textures[m][deg].shape[3] * 4)
+                for m in range(self.nr_meshes)
+            ]
+            for deg in range(self.sh_degree + 1)
+        ]
+        self._scene = {
+            "stacked_bvh": self.stacked_bvh,
+            "meshes": self.meshes,
+            "textures": self.textures,
+            "band_tex": self.band_tex,
+            "raster_tables": [
+                raster.mesh_raster_tables(m.verts, m.faces, m.uvs)
+                for m in self.meshes
+            ],
+        }
         self._render_jit = jax.jit(self._render_rays)
+        self._render_frame_jit = jax.jit(
+            self._render_frame_tiles, static_argnames=("width", "height", "nr_cand")
+        )
 
     # ---- core ----------------------------------------------------------------
 
-    def _sample_sh_coeffs(self, mesh_idx, uv):
+    def _sample_sh_coeffs(self, textures, mesh_idx, uv):
         """[N, 4, nr_coeffs] rgba SH coefficients at uv (expanded to range)."""
         bands = []
         for deg in range(self.sh_degree + 1):
-            tex = self.textures[mesh_idx][deg]  # [H, W, 4, C]
+            tex = textures[mesh_idx][deg]  # [H, W, 4, C]
             H, W, _, C = tex.shape
             flat = tex.reshape(H, W, 4 * C)
             sampled = _bilinear_sample(flat, uv).reshape(-1, 4, C)
@@ -115,17 +148,60 @@ class BakedMeshRenderer:
             bands.append(sampled)
         return jnp.concatenate(bands, axis=-1)
 
-    def _render_rays(self, rays_o, rays_d):
-        R = rays_o.shape[0]
+    def _sample_bands_fused(self, scene, uv_all):
+        """Bilinear SH-coefficient sampling, one gather per (mesh, band)
+        covering all 4 corners. uv_all [M, N, 2] -> [M, N, 4, total_coeffs]."""
+        M, N, _ = uv_all.shape
+        per_mesh = []
+        for m in range(M):
+            bands = []
+            for deg in range(self.sh_degree + 1):
+                table = scene["band_tex"][deg][m]  # [H*W, 4C]
+                C4 = table.shape[1]
+                H = W = int(np.sqrt(table.shape[0]))
+                x = uv_all[m, :, 0] * W - 0.5
+                y = (1.0 - uv_all[m, :, 1]) * H - 0.5
+                x0 = jnp.floor(x)
+                y0 = jnp.floor(y)
+                fx = (x - x0).astype(jnp.float16)[:, None]
+                fy = (y - y0).astype(jnp.float16)[:, None]
+
+                def flat(xi, yi):
+                    xi = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
+                    yi = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
+                    return yi * W + xi
+
+                idx = jnp.concatenate(
+                    [flat(x0, y0), flat(x0 + 1, y0), flat(x0, y0 + 1),
+                     flat(x0 + 1, y0 + 1)]
+                )  # [4N]
+                g = table[idx].reshape(4, N, C4)  # ONE gather for 4 corners
+                sampled = (
+                    g[0] * (1 - fx) * (1 - fy)
+                    + g[1] * fx * (1 - fy)
+                    + g[2] * (1 - fx) * fy
+                    + g[3] * fx * fy
+                )
+                lo, hi = self.tex_scales[m][deg]
+                sampled = jnp.asarray(lo, jnp.float16) + (
+                    jnp.asarray(hi - lo, jnp.float16) * sampled
+                )
+                bands.append(sampled.reshape(N, 4, C4 // 4))
+            per_mesh.append(jnp.concatenate(bands, axis=-1))
+        return jnp.stack(per_mesh)
+
+    def _shade(self, scene, uv_list, hit_list, dirs):
+        """Texture lookup + SH eval + fp16 outer->inner compositing, shared
+        by the ray-traced and rasterized paths (reference
+        mesh_renderer.py:64-120 shade + volsurfs.py:602-640 blending)."""
+        R = dirs.shape[0]
+        uv_all = jnp.stack(uv_list)  # [M, N, 2]
+        coeffs_all = self._sample_bands_fused(scene, uv_all)
         rgbs, alphas = [], []
-        for i, (mesh, bvh) in enumerate(zip(self.meshes, self.bvhs)):
-            hit = B.trace(bvh, rays_o, rays_d)
-            is_hit = hit["is_hit"][:, None]
-            uv = mesh.face_attr(mesh.uvs, hit["triangles_id"], hit["barycentric"])
-            coeffs = self._sample_sh_coeffs(i, uv)  # [N, 4, C]
-            vals = sh_eval(
-                coeffs, rays_d.astype(jnp.float16), self.sh_degree
-            )  # [N, 4]
+        for i in range(len(scene["meshes"])):
+            is_hit = hit_list[i][:, None]
+            coeffs = coeffs_all[i]
+            vals = sh_eval(coeffs, dirs.astype(jnp.float16), self.sh_degree)
             vals = jax.nn.sigmoid(vals.astype(jnp.float32))
             rgb = vals[:, :3]
             if self.ignore_alpha[i]:
@@ -150,10 +226,66 @@ class BakedMeshRenderer:
         rgb = rgb_fg.astype(jnp.float32) + bg_T.astype(jnp.float32) * self.bg_color
         return {"rgb": rgb, "bg_transmittance": bg_T.astype(jnp.float32)}
 
+    def _render_rays(self, scene, rays_o, rays_d):
+        # all k shells traced in one lockstep traversal
+        hits_all = B.trace_all(scene["stacked_bvh"], rays_o, rays_d)
+        uv_list, hit_list = [], []
+        for i, mesh in enumerate(scene["meshes"]):
+            uv = mesh.face_attr(
+                mesh.uvs, hits_all["triangles_id"][i], hits_all["barycentric"][i]
+            )
+            uv_list.append(uv)
+            hit_list.append(hits_all["is_hit"][i])
+        return self._shade(scene, uv_list, hit_list, rays_d)
+
+    def _render_frame_tiles(self, scene, intrinsics, c2w, w2c, *, width,
+                            height, nr_cand):
+        """One whole frame via the tile-binned rasterizer (renderers/raster.py):
+        dense per-tile candidate loops instead of per-ray BVH pointer chasing."""
+        dirs, origin = raster.tile_rays(intrinsics, c2w, width, height)
+        uv_list, hit_list = [], []
+        overflow = jnp.zeros((), jnp.int32)
+        for i, mesh in enumerate(scene["meshes"]):
+            tables = scene["raster_tables"][i]
+            cand, ovf = raster.bin_triangles(
+                mesh.verts, mesh.faces, intrinsics, w2c, width, height, nr_cand
+            )
+            overflow = overflow + jnp.sum(ovf)
+            is_hit, t, u, v, f = raster.raster_mesh(tables, cand, dirs, origin)
+            uv = raster.interp_uv(tables, f, u, v)
+            uv_list.append(uv.reshape(-1, 2))
+            hit_list.append(is_hit.reshape(-1))
+        dirs_flat = jnp.stack([d.reshape(-1) for d in dirs], axis=-1)
+        out = self._shade(scene, uv_list, hit_list, dirs_flat)
+        rgb_tiles = out["rgb"].reshape(dirs[0].shape[0], raster.TILE_P, 3)
+        return raster.tiles_to_image(rgb_tiles, width, height), overflow
+
     # ---- public --------------------------------------------------------------
 
     def render_rays(self, rays_o, rays_d):
-        return self._render_jit(rays_o, rays_d)
+        return self._render_jit(self._scene, rays_o, rays_d)
+
+    def render_frame_device(self, camera, nr_cand: int = 96):
+        """Rasterized frame as DEVICE arrays (img [H, W, 3] f32, overflow
+        scalar) — no host sync, so frames can be pipelined back to back."""
+        intr = jnp.asarray(camera.intrinsics, jnp.float32)
+        c2w = jnp.asarray(camera.pose, jnp.float32)
+        w2c = jnp.asarray(np.linalg.inv(camera.pose), jnp.float32)
+        return self._render_frame_jit(
+            self._scene, intr, c2w, w2c,
+            width=camera.width, height=camera.height, nr_cand=nr_cand,
+        )
+
+    def render_frame(self, camera, nr_cand: int = 96):
+        """Full frame via rasterization — the fast path for camera frames
+        (the reference's real-time usage). Returns [H, W, 3] float numpy.
+        Retries with a larger candidate budget if any tile overflowed (a
+        drop would otherwise leave holes)."""
+        while True:
+            img, overflow = self.render_frame_device(camera, nr_cand)
+            if int(overflow) == 0 or nr_cand >= 1024:
+                return np.asarray(img)
+            nr_cand *= 2
 
     def render(self, camera, chunk_size: int = 65536):
         """Full frame, chunked (reference base_renderer.py:11-101)."""
@@ -163,6 +295,10 @@ class BakedMeshRenderer:
         n = rays_o.shape[0]
         outs = []
         for i in range(0, n, chunk_size):
-            outs.append(self._render_jit(rays_o[i : i + chunk_size], rays_d[i : i + chunk_size]))
+            outs.append(
+                self._render_jit(
+                    self._scene, rays_o[i : i + chunk_size], rays_d[i : i + chunk_size]
+                )
+            )
         rgb = np.concatenate([np.asarray(o["rgb"]) for o in outs])
         return rgb.reshape(camera.height, camera.width, 3)

@@ -139,15 +139,22 @@ class Trainer:
         if self._test_loss_fn is None:
             hp = self.method.hp
             render_fn = self.method.make_render_fn()
-
-            def fn(params, grid, reel, key, iter_nr):
-                batch = get_next_rays_batch(
+            # batch gen is jitted separately; render_fn is already jitted and
+            # must NOT be wrapped in an outer jit (methods inject scene
+            # arrays as runtime arguments — an outer trace would capture them
+            # as HLO constants)
+            batch_fn = jax.jit(
+                lambda reel, key: get_next_rays_batch(
                     reel, key, hp.training_rays_batch_size, jitter_pixels=False
                 )
+            )
+
+            def fn(params, grid, reel, key, iter_nr):
+                batch = batch_fn(reel, key)
                 out = render_fn(params, grid, batch["rays_o"], batch["rays_d"], iter_nr)
                 return jnp.mean(jnp.abs(out["rgb"] - batch["gt_rgb"]))
 
-            self._test_loss_fn = jax.jit(fn)
+            self._test_loss_fn = fn
         self._batch_key, k = jax.random.split(self._batch_key)
         return float(
             self._test_loss_fn(
