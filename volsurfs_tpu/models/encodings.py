@@ -221,6 +221,40 @@ class HashGridEncoder(nn.Module):
         return feats, out_of_bounds
 
 
+@jax.custom_vjp
+def _hash_lookup(flat_table, flat_idx, bary):
+    """Fused multi-level multi-corner hash-table lookup.
+
+    flat_table [L*T, F]; flat_idx [N, L, C] absolute rows; bary [N, L, C].
+    Returns feats [N, L, F] = sum_c bary_c * table[idx_c].
+
+    custom_vjp so the backward is exactly ONE scatter-add over all
+    (point, level, corner) updates: the autodiff transpose of the per-level
+    vmapped gather emits a per-level scatter pattern that measures ~8x
+    slower on TPU.
+    """
+    g = flat_table[flat_idx]  # [N, L, C, F] single gather
+    return jnp.sum(bary[..., None] * g, axis=2)
+
+
+def _hash_lookup_fwd(flat_table, flat_idx, bary):
+    g = flat_table[flat_idx]
+    feats = jnp.sum(bary[..., None] * g, axis=2)
+    return feats, (g, flat_idx, bary, flat_table.shape)
+
+
+def _hash_lookup_bwd(res, dout):
+    g, flat_idx, bary, table_shape = res
+    # dout [N, L, F]
+    d_bary = jnp.sum(g * dout[:, :, None, :], axis=-1)  # [N, L, C]
+    upd = (bary[..., None] * dout[:, :, None, :]).reshape(-1, table_shape[-1])
+    d_table = jnp.zeros(table_shape, dout.dtype).at[flat_idx.reshape(-1)].add(upd)
+    return d_table, None, d_bary
+
+
+_hash_lookup.defvjp(_hash_lookup_fwd, _hash_lookup_bwd)
+
+
 class PermutoEncoder(nn.Module):
     """Permutohedral-lattice hash encoding (4 simplex taps per level in 3D).
 
@@ -333,16 +367,15 @@ class PermutoEncoder(nn.Module):
         bary = bary.at[..., 0].add(1.0 + bary[..., d + 1])
         bary = bary[..., : d + 1]  # [N, L, d+1] weights
 
-        feats = jnp.zeros((N, L, F), dtype=table.dtype)
+        corner_idx = []
+        level_off = (jnp.arange(L, dtype=jnp.int32) * T)[None, :]
         for corner in range(d + 1):
             # corner key = rem0 + (d+1) for coordinates whose rank >= d+1-corner
             add = jnp.where(rank >= d + 1 - corner, float(d + 1), 0.0)
             key = (rem0 + add).astype(jnp.int32)[..., :d]  # drop last coord
-            idx = _hash_coords(key, T)
-            gathered = jax.vmap(lambda tab, i: tab[i], in_axes=(0, 1), out_axes=1)(
-                table, idx
-            )
-            feats = feats + bary[..., corner : corner + 1] * gathered
+            corner_idx.append(_hash_coords(key, T) + level_off)
+        flat_idx = jnp.stack(corner_idx, axis=-1)  # [N, L, d+1] absolute rows
+        feats = _hash_lookup(table.reshape(L * T, F), flat_idx, bary)
 
         feats = feats * window[None, :, None]
         feats = feats.reshape(*batch_shape, L * F)

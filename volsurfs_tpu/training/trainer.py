@@ -250,16 +250,30 @@ class Trainer:
         return state
 
     def render_camera(self, state, camera, chunk_size: int = 2048):
-        rays_o, rays_d = get_camera_rays(camera)
+        """Full-frame render; averages nr_test_rays_per_pixel jittered
+        subsamples when configured (reference base_method.py:366-541
+        supersampled render)."""
         render_fn = self.method.make_render_fn()
-        out = render_frame_chunked(
-            lambda o, d: render_fn(state.params, state.grid, o, d, state.iter_nr),
-            rays_o,
-            rays_d,
-            chunk_size,
-        )
+        ss = max(int(self.method.hp.nr_test_rays_per_pixel), 1)
         H, W = camera.height, camera.width
-        return {k: np.asarray(v).reshape(H, W, -1) for k, v in out.items()}
+        acc = None
+        for s in range(ss):
+            if ss == 1:
+                rays_o, rays_d = get_camera_rays(camera)
+            else:
+                self._batch_key, k = jax.random.split(self._batch_key)
+                rays_o, rays_d = get_camera_rays(camera, jitter_pixels=True, key=k)
+            out = render_frame_chunked(
+                lambda o, d: render_fn(state.params, state.grid, o, d, state.iter_nr),
+                rays_o,
+                rays_d,
+                chunk_size,
+            )
+            out = {k_: np.asarray(v) for k_, v in out.items()}
+            acc = out if acc is None else {
+                k_: acc[k_] + out[k_] for k_ in acc
+            }
+        return {k_: (v / ss).reshape(H, W, -1) for k_, v in acc.items()}
 
     def eval_split(self, state, split_name: str, max_cameras: int | None = None):
         split = self.mv_data[split_name]
