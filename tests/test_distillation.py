@@ -62,3 +62,29 @@ def test_distiller_mixes_batch():
     # fraction=0 is the identity
     same = distiller.mix_batch(batch, jax.random.PRNGKey(2), fraction=0.0)
     np.testing.assert_allclose(np.asarray(same["gt_rgb"]), np.asarray(batch["gt_rgb"]))
+
+
+def test_distiller_hemisphere_rays():
+    """With a hemisphere radius, teacher rays come from fresh cameras."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from volsurfs_tpu.training.distillation import Distiller
+
+    method = _tiny_surf_method(jax.random.PRNGKey(0))
+    state = method.init_state()
+    distiller = Distiller(method, state, hemisphere_radius=2.0,
+                          image_size=(16, 16))
+    n = 16
+    batch = {
+        "rays_o": jnp.zeros((n, 3)),
+        "rays_d": jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (n, 1)),
+        "gt_rgb": jnp.full((n, 3), 0.5),
+        "gt_mask": jnp.zeros((n, 1)),
+    }
+    mixed = distiller.mix_batch(batch, jax.random.PRNGKey(1), fraction=0.5)
+    # teacher rays replaced: origins now on the radius-2 hemisphere
+    norms = np.linalg.norm(np.asarray(mixed["rays_o"][:8]), axis=-1)
+    np.testing.assert_allclose(norms, 2.0, atol=1e-4)
+    assert np.isfinite(np.asarray(mixed["gt_rgb"])).all()

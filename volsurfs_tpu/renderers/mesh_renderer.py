@@ -52,7 +52,12 @@ def _bilinear_sample(tex, uv):
 class BakedMeshRenderer:
     """Renders a baked scene directory (scene.json + meshes/ + textures/)."""
 
-    def __init__(self, scene_dir: str, bg_color=None):
+    def __init__(self, scene_dir: str, bg_color=None,
+                 max_texture_res: int | None = None):
+        """max_texture_res: box-downsample texture bands above this
+        resolution at load (minification prefilter, like GL mipmapping in
+        the reference's WebGL viewer; None keeps base level — exact parity
+        with the reference TensorTexture lerp path)."""
         from PIL import Image
 
         with open(os.path.join(scene_dir, "scene.json")) as f:
@@ -88,11 +93,13 @@ class BakedMeshRenderer:
                     arr = np.flipud(arr).copy()  # undo the export flip
                     feats.append(arr)
                     scale = info["texture_scale"]
+                tex = np.stack(feats, axis=-1)  # [H, W, 4, C]
+                while max_texture_res and tex.shape[0] > max_texture_res:
+                    h2, w2 = tex.shape[0] // 2, tex.shape[1] // 2
+                    tex = tex.reshape(h2, 2, w2, 2, *tex.shape[2:]).mean((1, 3))
                 # fp16 storage: halves HBM gather traffic; filtering is fp16
                 # anyway (WebGL parity, reference neural_texture.py:104-140)
-                per_deg.append(
-                    jnp.asarray(np.stack(feats, axis=-1), jnp.float16)
-                )  # [H,W,4,C]
+                per_deg.append(jnp.asarray(tex, jnp.float16))
                 scales.append(scale)
             self.textures.append(per_deg)
             self.tex_scales.append(scales)
