@@ -62,7 +62,11 @@ def render_rays_sharded(render_fn, state, rays_o, rays_d, mesh: Mesh):
     o = jax.device_put(batch["o"], sharding)
     d = jax.device_put(batch["d"], sharding)
     state_r = replicate_state(state, mesh)
-    out = jax.jit(render_fn)(state_r.params, state_r.grid, o, d, state_r.iter_nr)
+    # render_fn is expected to be jitted already (method.make_render_fn);
+    # sharded inputs propagate through it via GSPMD. Do NOT re-wrap it in
+    # jax.jit here: methods inject scene arrays at call time, and an outer
+    # trace would capture them as HLO constants.
+    out = render_fn(state_r.params, state_r.grid, o, d, state_r.iter_nr)
     return {k: np.asarray(v)[:n] for k, v in out.items()}
 
 

@@ -117,11 +117,16 @@ class Trainer:
             )
         return self._batch_fn_cache[n](reel, key)
 
-    def _adjust_ray_bucket(self, losses):
+    def _adjust_ray_bucket(self, losses, it: int):
         """Pick the power-of-2 ray bucket whose sample count is closest to
-        target_nr_of_training_samples."""
+        target_nr_of_training_samples. Checked every 10 iters: reading the
+        sample count forces a host sync, which would otherwise serialize
+        every dispatch (the reference adjusts every iteration but runs
+        synchronously anyway, trainer.py:289-304)."""
         hp = self.method.hp
         if not hp.is_nr_training_rays_dynamic or "nr_samples_total" not in losses:
+            return
+        if it % 10 != 0:
             return
         actual = float(losses["nr_samples_total"])
         if actual <= 0:
@@ -198,8 +203,8 @@ class Trainer:
             state, losses = self.method.train_step(state, batch)
             if prof:
                 prof.end("training_iteration")
-            self._adjust_ray_bucket(losses)
             it += 1
+            self._adjust_ray_bucket(losses, it)
 
             if it % self.log_every == 0 or it == end_iter:
                 loss_val = float(losses["loss"])
@@ -275,12 +280,32 @@ class Trainer:
             }
         return {k_: (v / ss).reshape(H, W, -1) for k_, v in acc.items()}
 
-    def eval_split(self, state, split_name: str, max_cameras: int | None = None):
+    def eval_split(self, state, split_name: str, max_cameras: int | None = None,
+                   use_device_mesh: bool = True):
+        """Render + score a split. With several local devices, frames render
+        with rays sharded over the 1-D device mesh (SURVEY.md §5.8)."""
         split = self.mv_data[split_name]
         evaluator = PerSceneEvaluator(split_name)
         cams = split.cameras[:max_cameras] if max_cameras else split.cameras
+
+        sharded = None
+        if use_device_mesh and len(jax.devices()) > 1 and \
+                self.method.hp.nr_test_rays_per_pixel <= 1:
+            from volsurfs_tpu.parallel import mesh as M
+
+            device_mesh = M.make_mesh()
+            render_fn = self.method.make_render_fn()
+
+            def sharded(cam):
+                rays_o, rays_d = get_camera_rays(cam)
+                out = M.render_rays_sharded(
+                    render_fn, state, rays_o, rays_d, device_mesh
+                )
+                H, W = cam.height, cam.width
+                return {k: np.asarray(v).reshape(H, W, -1) for k, v in out.items()}
+
         for i, cam in enumerate(cams):
-            out = self.render_camera(state, cam)
+            out = sharded(cam) if sharded else self.render_camera(state, cam)
             evaluator.update(cam.camera_id, split.rgbs[i], out["rgb"].clip(0, 1))
         out_dir = os.path.join(self.run_dir, "results")
         evaluator.save_csv(out_dir)
