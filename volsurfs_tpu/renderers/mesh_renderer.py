@@ -1,12 +1,16 @@
-"""Baked-scene renderer: k textured meshes, ray-traced and alpha-blended.
+"""Baked-scene renderer: k textured meshes, intersected and alpha-blended.
 
 Re-implements the reference MeshRenderer (volsurfs_py/renderers/
 mesh_renderer.py:16-201 + base_renderer.py:11-101): loads a baked
-``scene.json`` (meshes + SH texture PNG pyramids), traces every mesh with the
-BVH, samples the textures bilinearly, evaluates the spherical harmonics at
+``scene.json`` (meshes + SH texture PNG pyramids), finds per-mesh closest
+hits, samples the textures bilinearly, evaluates the spherical harmonics at
 the view direction, applies sigmoid, and composites outer -> inner in
-float16 — the exact math the WebGL viewer runs. This is the real-time path
-the Mrays/sec benchmark measures.
+float16 — the exact math the WebGL viewer runs.
+
+Two intersection paths share the shading code: arbitrary ray batches go
+through the stackless BVH (`render_rays`), camera frames through the
+tile-binned rasterizer (`render_frame`, renderers/raster.py — the fast path
+the Mrays/sec benchmark measures; hits agree exactly between the two).
 """
 
 from __future__ import annotations
@@ -23,30 +27,6 @@ from volsurfs_tpu.models.textures import DEG_NR_COEFFS
 from volsurfs_tpu.ops import bvh as B
 from volsurfs_tpu.ops.sh import sh_eval
 from volsurfs_tpu.renderers import raster
-
-
-def _bilinear_sample(tex, uv):
-    """Bilinear texture lookup. tex [H, W, C]; uv [N, 2] with the framework's
-    v-flip convention. Returns [N, C] (float16 filtering, WebGL parity)."""
-    H, W = tex.shape[:2]
-    x = uv[:, 0] * W - 0.5
-    y = (1.0 - uv[:, 1]) * H - 0.5
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    fx = (x - x0)[:, None].astype(jnp.float16)
-    fy = (y - y0)[:, None].astype(jnp.float16)
-
-    def at(xi, yi):
-        xi = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
-        yi = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
-        return tex[yi, xi].astype(jnp.float16)
-
-    return (
-        at(x0, y0) * (1 - fx) * (1 - fy)
-        + at(x0 + 1, y0) * fx * (1 - fy)
-        + at(x0, y0 + 1) * (1 - fx) * fy
-        + at(x0 + 1, y0 + 1) * fx * fy
-    )
 
 
 class BakedMeshRenderer:
@@ -139,21 +119,6 @@ class BakedMeshRenderer:
         )
 
     # ---- core ----------------------------------------------------------------
-
-    def _sample_sh_coeffs(self, textures, mesh_idx, uv):
-        """[N, 4, nr_coeffs] rgba SH coefficients at uv (expanded to range)."""
-        bands = []
-        for deg in range(self.sh_degree + 1):
-            tex = textures[mesh_idx][deg]  # [H, W, 4, C]
-            H, W, _, C = tex.shape
-            flat = tex.reshape(H, W, 4 * C)
-            sampled = _bilinear_sample(flat, uv).reshape(-1, 4, C)
-            lo, hi = self.tex_scales[mesh_idx][deg]
-            sampled = jnp.asarray(lo, jnp.float16) + (
-                jnp.asarray(hi - lo, jnp.float16) * sampled
-            )
-            bands.append(sampled)
-        return jnp.concatenate(bands, axis=-1)
 
     def _sample_bands_fused(self, scene, uv_all):
         """Bilinear SH-coefficient sampling, one gather per (mesh, band)
