@@ -69,7 +69,7 @@ class LipshitzMLP(nn.Module):
                 (1,),
             )
             absrowsum = jnp.sum(jnp.abs(w), axis=0)  # per-output-row in torch layout
-            scale = jnp.clip(jax.nn.softplus(c) / absrowsum, a_max=1.0)
+            scale = jnp.clip(jax.nn.softplus(c) / absrowsum, max=1.0)
             x = x @ (w * scale[None, :]) + b
             is_last = i == n - 1
             if not (is_last and self.last_layer_linear):

@@ -21,7 +21,7 @@ def loss_l2(gt, pred, mask=None):
 
 def sparsity_loss(densities, lambda_sparsity: float = 1.0):
     loss = jnp.mean(1.0 - jnp.exp(-lambda_sparsity * densities))
-    return jnp.clip(loss, a_min=0.0)
+    return jnp.clip(loss, min=0.0)
 
 
 def eikonal_loss(sdf_gradients, distance_scale: float = 1.0):
