@@ -7,6 +7,10 @@ import argparse, json, os, sys, time
 
 parser = argparse.ArgumentParser()
 parser.add_argument("--iters", type=int, default=1500)
+parser.add_argument("--init_iters", type=int, default=None,
+                    help="sphere-init budget; defaults to iters//3 (the "
+                         "reference spends 5k/100k iters on init; short "
+                         "schedules need proportionally more)")
 parser.add_argument("--platform", default=None)
 parser.add_argument("--out", default="runs/convergence")
 args = parser.parse_args()
@@ -28,7 +32,7 @@ hp = HyperParamsSuRF(
     max_nr_samples_per_ray=32,
     max_nr_imp_samples_per_ray=16,
     do_importance_sampling=True,
-    init_phase_end_iter=200,
+    init_phase_end_iter=args.init_iters or max(300, args.iters // 3),
     first_phase_end_iter=args.iters,
     training_end_iter=args.iters,
     nr_warmup_iters=100,
@@ -38,7 +42,7 @@ hp = HyperParamsSuRF(
     offsurface_weight=1e-4,
     curvature_weight=0.0,
     geom_feat_size=32,
-    sdf_nr_iters_for_c2f=0,
+    sdf_nr_iters_for_c2f=args.iters // 2,  # reference trains c2f on (5k/100k)
     nr_samples_bg=8,
 )
 mv = MVDataset("synthetic", "sphere", "", config={"width": 64, "height": 64, "nr_train_cameras": 24, "nr_test_cameras": 4})

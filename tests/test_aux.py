@@ -198,3 +198,14 @@ def test_dtu_loader_roundtrip(tmp_path):
     uv = cam0.intrinsics @ pc[:3]
     uv = uv[:2] / uv[2]
     np.testing.assert_allclose(uv, [32, 24], atol=1e-3)
+
+
+def test_f32_matmul_precision_is_forced():
+    """TPU-default bf16 matmuls destroy the eps=1e-4 finite-difference SDF
+    normals (measured ~15x relative error -> training collapse); importing
+    the package must pin f32 matmul precision."""
+    import jax
+
+    import volsurfs_tpu  # noqa: F401
+
+    assert str(jax.config.jax_default_matmul_precision) == "highest"

@@ -19,3 +19,15 @@ Four methods are provided, mirroring the reference pipeline:
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# f32 matmul precision is load-bearing, not a tuning choice: TPUs default to
+# bf16 matmul inputs, and the NeuS training math takes finite-difference SDF
+# gradients with eps=1e-4 (reference utils/fields_utils.py:6-80) — an offset
+# far below bf16 resolution, so default-precision normals are pure noise
+# (measured ~15x relative error on v5e; the eikonal loss then destroys the
+# SDF). The reference is an all-float32 CUDA codebase; this matches it.
+# Renderer hot paths cast to bf16/fp16 explicitly where it is safe.
+if _jax.config.jax_default_matmul_precision is None:
+    _jax.config.update("jax_default_matmul_precision", "highest")
