@@ -194,22 +194,23 @@ class HashGridEncoder(nn.Module):
         frac = scaled - floor
         floor = floor.astype(jnp.int32)
 
-        # 8 trilinear corners
-        feats = jnp.zeros((p.shape[0], L, F), dtype=table.dtype)
+        # 8 trilinear corners, fetched with one fused lookup (single gather;
+        # custom VJP emits one scatter-add — see _hash_lookup)
+        level_off = (jnp.arange(L, dtype=jnp.int32) * T)[None, :]
+        corner_idx, corner_w = [], []
         for corner in range(8):
             offset = jnp.asarray(
                 [(corner >> 0) & 1, (corner >> 1) & 1, (corner >> 2) & 1],
                 jnp.int32,
             )
             c = floor + offset[None, None, :]
-            idx = _hash_coords(c, T)  # [N, L]
-            w = jnp.prod(
+            corner_idx.append(_hash_coords(c, T) + level_off)  # [N, L]
+            corner_w.append(jnp.prod(
                 jnp.where(offset[None, None, :] == 1, frac, 1.0 - frac), axis=-1
-            )  # [N, L]
-            gathered = jax.vmap(lambda tab, i: tab[i], in_axes=(0, 1), out_axes=1)(
-                table, idx
-            )  # [N, L, F]
-            feats = feats + w[..., None] * gathered
+            ))
+        flat_idx = jnp.stack(corner_idx, axis=-1)  # [N, L, 8]
+        weights = jnp.stack(corner_w, axis=-1)  # [N, L, 8]
+        feats = _hash_lookup(table.reshape(L * T, F), flat_idx, weights)
 
         feats = feats * window[None, :, None]
         feats = feats.reshape(*batch_shape, L * F)
