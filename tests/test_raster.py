@@ -139,6 +139,56 @@ def test_bin_triangles_2level_matches_single(baked_scene):
             assert set(c1[tile][c1[tile] >= 0]) == set(c2[tile][c2[tile] >= 0])
 
 
+def test_footprint_sampling_matches_four_corner_reference(baked_scene):
+    """One-row footprint filtering == independent per-corner clamped bilinear
+    lookup, including UVs outside [0,1] and on texel edges."""
+    from volsurfs_tpu.renderers.mesh_renderer import BakedMeshRenderer
+
+    r = BakedMeshRenderer(baked_scene, bg_color="white")
+    rng = np.random.default_rng(1)
+    N = 512
+    uv = rng.uniform(-0.05, 1.05, (len(r.meshes), N, 2)).astype(np.float32)
+    # exact texel centers / edges to probe floor boundaries
+    uv[:, :8, :] = np.array(
+        [[0.0, 0.0], [1.0, 1.0], [0.5, 0.5], [1.0 / 64, 1.0 / 64],
+         [0.0, 1.0], [1.0, 0.0], [0.25, 0.75], [0.999, 0.001]], np.float32
+    )
+    got = np.asarray(jax.jit(r._sample_bands_fused)(r._scene, jnp.asarray(uv)))
+
+    for m in range(len(r.meshes)):
+        offs = 0
+        for deg in range(r.sh_degree + 1):
+            tex = np.asarray(r.textures[m][deg], np.float16)  # [H, W, 4, C]
+            H, W, _, C = tex.shape
+            x = uv[m, :, 0] * W - 0.5
+            y = (1.0 - uv[m, :, 1]) * H - 0.5
+            x0, y0 = np.floor(x), np.floor(y)
+            fx = (x - x0).astype(np.float16)
+            fy = (y - y0).astype(np.float16)
+
+            def corner(dx, dy):
+                xi = np.clip(x0 + dx, 0, W - 1).astype(np.int64)
+                yi = np.clip(y0 + dy, 0, H - 1).astype(np.int64)
+                return tex[yi, xi]  # [N, 4, C]
+
+            w00 = ((1 - fx) * (1 - fy))[:, None, None]
+            w10 = (fx * (1 - fy))[:, None, None]
+            w01 = ((1 - fx) * fy)[:, None, None]
+            w11 = (fx * fy)[:, None, None]
+            ref = (
+                corner(0, 0) * w00 + corner(1, 0) * w10
+                + corner(0, 1) * w01 + corner(1, 1) * w11
+            )
+            lo, hi = r.tex_scales[m][deg]
+            ref = np.float16(lo) + np.float16(hi - lo) * ref
+            np.testing.assert_allclose(
+                # fp16 accumulation-order differences only (one ulp at the
+                # +-4 texture scale)
+                got[m, :, :, offs : offs + C], ref, rtol=1e-2, atol=1e-2
+            )
+            offs += C
+
+
 def test_overflow_flag_fires_when_budget_too_small(baked_scene):
     from volsurfs_tpu.renderers.mesh_renderer import BakedMeshRenderer
 

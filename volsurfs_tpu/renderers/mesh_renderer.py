@@ -29,6 +29,28 @@ from volsurfs_tpu.ops.sh import sh_eval
 from volsurfs_tpu.renderers import raster
 
 
+def make_footprint_table(tex_u8):
+    """[H, W, 4, C] uint8 texture -> footprint table [H*W, 16C] uint8.
+
+    Row (y*W + x) holds the 2x2 bilinear footprint of base texel (x, y) in
+    corner order (x,y), (x+1,y), (x,y+1), (x+1,y+1); +1 neighbours clamp to
+    the edge (so rows on the last row/column duplicate edge texels, which
+    keeps clamp-to-edge filtering exact).
+
+    Stored as raw uint8 PNG values: TPU random-row gather time scales with
+    total table BYTES (scripts/bench_gather.py), so 1-byte texels are ~2-4x
+    faster to filter than fp16 and the /255 dequantization folds into the
+    existing lo/hi affine in the sampler."""
+    H, W = tex_u8.shape[:2]
+    flat = np.ascontiguousarray(tex_u8, np.uint8).reshape(H, W, -1)
+    xp = np.minimum(np.arange(W) + 1, W - 1)
+    yp = np.minimum(np.arange(H) + 1, H - 1)
+    out = np.concatenate(
+        [flat, flat[:, xp], flat[yp], flat[yp][:, xp]], axis=-1
+    )  # [H, W, 16C]
+    return out.reshape(H * W, -1)
+
+
 class BakedMeshRenderer:
     """Renders a baked scene directory (scene.json + meshes/ + textures/)."""
 
@@ -77,9 +99,9 @@ class BakedMeshRenderer:
                 while max_texture_res and tex.shape[0] > max_texture_res:
                     h2, w2 = tex.shape[0] // 2, tex.shape[1] // 2
                     tex = tex.reshape(h2, 2, w2, 2, *tex.shape[2:]).mean((1, 3))
-                # fp16 storage: halves HBM gather traffic; filtering is fp16
-                # anyway (WebGL parity, reference neural_texture.py:104-140)
-                per_deg.append(jnp.asarray(tex, jnp.float16))
+                # host-side fp16 copy (tests / introspection); the device
+                # tables are the uint8 footprint tables built below
+                per_deg.append(np.asarray(tex, np.float16))
                 scales.append(scale)
             self.textures.append(per_deg)
             self.tex_scales.append(scales)
@@ -91,14 +113,30 @@ class BakedMeshRenderer:
         # overflows remote-compile transports) for multi-hundred-MB texture
         # pyramids. As runtime inputs they live in HBM once and the
         # executable stays small.
-        # flat per-(mesh, band) texture tables [H*W, 4C] fp16: the four
-        # bilinear corners are fetched with ONE gather per table (the TPU
-        # gather rate depends on table size, so tables stay per-mesh —
-        # merging meshes into one 5x bigger table measures ~60% slower).
+        # Footprint-replicated per-(mesh, band) tables [H*W, 16C] uint8: row
+        # (y, x) stores the full 2x2 bilinear footprint (x,y), (x+1,y),
+        # (x,y+1), (x+1,y+1) with clamped edges, so filtering needs ONE
+        # gathered row per pixel instead of four. Measured on v5e
+        # (scripts/bench_gather.py): gather time scales with rows gathered
+        # AND total table bytes, so the 2x2 replication is paid for by uint8
+        # storage (raw PNG values; /255 folds into the lo/hi affine) —
+        # net table bytes are 2x the fp16 originals while every pixel needs
+        # 4x fewer gathered rows. Tables stay per-mesh — merging meshes into
+        # one 5x bigger table measures ~60% slower.
         self.nr_meshes = len(self.meshes)
         self.band_tex = [
             [
-                self.textures[m][deg].reshape(-1, self.textures[m][deg].shape[3] * 4)
+                jnp.asarray(
+                    make_footprint_table(
+                        np.clip(
+                            np.rint(
+                                np.asarray(self.textures[m][deg], np.float32)
+                                * 255.0
+                            ),
+                            0, 255,
+                        ).astype(np.uint8)
+                    )
+                )
                 for m in range(self.nr_meshes)
             ]
             for deg in range(self.sh_degree + 1)
@@ -106,7 +144,6 @@ class BakedMeshRenderer:
         self._scene = {
             "stacked_bvh": self.stacked_bvh,
             "meshes": self.meshes,
-            "textures": self.textures,
             "band_tex": self.band_tex,
             "raster_tables": [
                 raster.mesh_raster_tables(m.verts, m.faces, m.uvs)
@@ -117,46 +154,50 @@ class BakedMeshRenderer:
         self._render_frame_jit = jax.jit(
             self._render_frame_tiles, static_argnames=("width", "height", "nr_cand")
         )
+        self._render_frames_jit = jax.jit(
+            self._render_frames_scan, static_argnames=("width", "height", "nr_cand")
+        )
 
     # ---- core ----------------------------------------------------------------
 
     def _sample_bands_fused(self, scene, uv_all):
-        """Bilinear SH-coefficient sampling, one gather per (mesh, band)
-        covering all 4 corners. uv_all [M, N, 2] -> [M, N, 4, total_coeffs]."""
+        """Bilinear SH-coefficient sampling from the footprint tables: ONE
+        gathered row per (pixel, mesh, band) carries all 4 corners.
+        uv_all [M, N, 2] -> [M, N, 4, total_coeffs]."""
         M, N, _ = uv_all.shape
         per_mesh = []
         for m in range(M):
             bands = []
             for deg in range(self.sh_degree + 1):
-                table = scene["band_tex"][deg][m]  # [H*W, 4C]
-                C4 = table.shape[1]
+                table = scene["band_tex"][deg][m]  # [H*W, 16C]
+                C4 = table.shape[1] // 4
                 H = W = int(np.sqrt(table.shape[0]))
                 x = uv_all[m, :, 0] * W - 0.5
                 y = (1.0 - uv_all[m, :, 1]) * H - 0.5
                 x0 = jnp.floor(x)
                 y0 = jnp.floor(y)
-                fx = (x - x0).astype(jnp.float16)[:, None]
-                fy = (y - y0).astype(jnp.float16)[:, None]
-
-                def flat(xi, yi):
-                    xi = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
-                    yi = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
-                    return yi * W + xi
-
-                idx = jnp.concatenate(
-                    [flat(x0, y0), flat(x0 + 1, y0), flat(x0, y0 + 1),
-                     flat(x0 + 1, y0 + 1)]
-                )  # [4N]
-                g = table[idx].reshape(4, N, C4)  # ONE gather for 4 corners
+                # negative-side clamp: both corners collapse onto texel 0, so
+                # move all weight to the stored left corner (exact equivalent
+                # of clamping each corner index separately); the positive side
+                # is exact already because footprint rows duplicate edge
+                # texels.
+                fx = jnp.where(x0 < 0, 0.0, x - x0).astype(jnp.float16)[:, None]
+                fy = jnp.where(y0 < 0, 0.0, y - y0).astype(jnp.float16)[:, None]
+                xi = jnp.clip(x0, 0, W - 1).astype(jnp.int32)
+                yi = jnp.clip(y0, 0, H - 1).astype(jnp.int32)
+                # one uint8 row = all 4 corners; integer texel values are
+                # exact in fp16 (<= 255), the /255 dequant folds into the
+                # lo/hi affine below
+                g = table[yi * W + xi].reshape(N, 4, C4).astype(jnp.float16)
                 sampled = (
-                    g[0] * (1 - fx) * (1 - fy)
-                    + g[1] * fx * (1 - fy)
-                    + g[2] * (1 - fx) * fy
-                    + g[3] * fx * fy
+                    g[:, 0] * (1 - fx) * (1 - fy)
+                    + g[:, 1] * fx * (1 - fy)
+                    + g[:, 2] * (1 - fx) * fy
+                    + g[:, 3] * fx * fy
                 )
                 lo, hi = self.tex_scales[m][deg]
                 sampled = jnp.asarray(lo, jnp.float16) + (
-                    jnp.asarray(hi - lo, jnp.float16) * sampled
+                    jnp.asarray((hi - lo) / 255.0, jnp.float16) * sampled
                 )
                 bands.append(sampled.reshape(N, 4, C4 // 4))
             per_mesh.append(jnp.concatenate(bands, axis=-1))
@@ -210,17 +251,28 @@ class BakedMeshRenderer:
             hit_list.append(hits_all["is_hit"][i])
         return self._shade(scene, uv_list, hit_list, rays_d)
 
+    # raster block size: 32x64 px (2048 lanes). Coarser than the default
+    # 8x16 tiles so binning runs one cheap top_k over few rows (binning was
+    # the dominant frame cost at 8x16); the scan does more ray-triangle
+    # tests but those are dense VPU work and stay cheap.
+    _BLOCK_H = 32
+    _BLOCK_W = 64
+
     def _render_frame_tiles(self, scene, intrinsics, c2w, w2c, *, width,
                             height, nr_cand):
         """One whole frame via the tile-binned rasterizer (renderers/raster.py):
         dense per-tile candidate loops instead of per-ray BVH pointer chasing."""
-        dirs, origin = raster.tile_rays(intrinsics, c2w, width, height)
+        bh, bw = self._BLOCK_H, self._BLOCK_W
+        dirs, origin = raster.tile_rays(
+            intrinsics, c2w, width, height, tile_h=bh, tile_w=bw
+        )
         uv_list, hit_list = [], []
         overflow = jnp.zeros((), jnp.int32)
         for i, mesh in enumerate(scene["meshes"]):
             tables = scene["raster_tables"][i]
             cand, ovf = raster.bin_triangles(
-                mesh.verts, mesh.faces, intrinsics, w2c, width, height, nr_cand
+                mesh.verts, mesh.faces, intrinsics, w2c, width, height,
+                nr_cand, tile_h=bh, tile_w=bw,
             )
             overflow = overflow + jnp.sum(ovf)
             is_hit, t, u, v, f = raster.raster_mesh(tables, cand, dirs, origin)
@@ -229,15 +281,35 @@ class BakedMeshRenderer:
             hit_list.append(is_hit.reshape(-1))
         dirs_flat = jnp.stack([d.reshape(-1) for d in dirs], axis=-1)
         out = self._shade(scene, uv_list, hit_list, dirs_flat)
-        rgb_tiles = out["rgb"].reshape(dirs[0].shape[0], raster.TILE_P, 3)
-        return raster.tiles_to_image(rgb_tiles, width, height), overflow
+        rgb_tiles = out["rgb"].reshape(dirs[0].shape[0], bh * bw, 3)
+        return (
+            raster.tiles_to_image(rgb_tiles, width, height, tile_h=bh, tile_w=bw),
+            overflow,
+        )
+
+    def _render_frames_scan(self, scene, intr_b, c2w_b, w2c_b, *, width,
+                            height, nr_cand):
+        """lax.scan over a batch of cameras: renders B frames in ONE
+        executable so per-frame host dispatch (expensive through remote
+        tunnels, and pure overhead for a swapchain workload) is paid once."""
+
+        def step(_, cams):
+            intr, c2w, w2c = cams
+            img, ovf = self._render_frame_tiles(
+                scene, intr, c2w, w2c, width=width, height=height,
+                nr_cand=nr_cand,
+            )
+            return None, (img, ovf)
+
+        _, (imgs, ovfs) = jax.lax.scan(step, None, (intr_b, c2w_b, w2c_b))
+        return imgs, jnp.sum(ovfs)
 
     # ---- public --------------------------------------------------------------
 
     def render_rays(self, rays_o, rays_d):
         return self._render_jit(self._scene, rays_o, rays_d)
 
-    def render_frame_device(self, camera, nr_cand: int = 96):
+    def render_frame_device(self, camera, nr_cand: int = 512):
         """Rasterized frame as DEVICE arrays (img [H, W, 3] f32, overflow
         scalar) — no host sync, so frames can be pipelined back to back."""
         intr = jnp.asarray(camera.intrinsics, jnp.float32)
@@ -248,14 +320,32 @@ class BakedMeshRenderer:
             width=camera.width, height=camera.height, nr_cand=nr_cand,
         )
 
-    def render_frame(self, camera, nr_cand: int = 96):
+    def render_frames_device(self, cameras, nr_cand: int = 512):
+        """Batched frame render: all cameras drawn inside one executable
+        (lax.scan). Returns (imgs [B, H, W, 3] f32 DEVICE array, overflow
+        scalar) without host sync — the real-time path for frame sequences."""
+        w = cameras[0].width
+        h = cameras[0].height
+        intr_b = jnp.asarray(
+            np.stack([c.intrinsics for c in cameras]), jnp.float32
+        )
+        c2w_b = jnp.asarray(np.stack([c.pose for c in cameras]), jnp.float32)
+        w2c_b = jnp.asarray(
+            np.stack([np.linalg.inv(c.pose) for c in cameras]), jnp.float32
+        )
+        return self._render_frames_jit(
+            self._scene, intr_b, c2w_b, w2c_b, width=w, height=h,
+            nr_cand=nr_cand,
+        )
+
+    def render_frame(self, camera, nr_cand: int = 512):
         """Full frame via rasterization — the fast path for camera frames
         (the reference's real-time usage). Returns [H, W, 3] float numpy.
-        Retries with a larger candidate budget if any tile overflowed (a
+        Retries with a larger candidate budget if any block overflowed (a
         drop would otherwise leave holes)."""
         while True:
             img, overflow = self.render_frame_device(camera, nr_cand)
-            if int(overflow) == 0 or nr_cand >= 1024:
+            if int(overflow) == 0 or nr_cand >= 8192:
                 return np.asarray(img)
             nr_cand *= 2
 

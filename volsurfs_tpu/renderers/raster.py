@@ -56,7 +56,7 @@ def mesh_raster_tables(verts, faces, uvs):
 
 
 def bin_triangles(verts, faces, intrinsics, w2c, width, height, nr_cand,
-                  near=0.05):
+                  near=0.05, tile_h=TILE_H, tile_w=TILE_W):
     """Project vertices and build fixed-size per-tile candidate lists.
 
     Returns cand [T, K] int32 face ids (-1 empty), and overflow [T] bool
@@ -84,13 +84,13 @@ def bin_triangles(verts, faces, intrinsics, w2c, width, height, nr_cand,
     y0 = jnp.min(f_sy, axis=-1)
     y1 = jnp.max(f_sy, axis=-1)
 
-    tx0 = jnp.floor(x0 / TILE_W).astype(jnp.int32)
-    tx1 = jnp.floor(x1 / TILE_W).astype(jnp.int32)
-    ty0 = jnp.floor(y0 / TILE_H).astype(jnp.int32)
-    ty1 = jnp.floor(y1 / TILE_H).astype(jnp.int32)
+    tx0 = jnp.floor(x0 / tile_w).astype(jnp.int32)
+    tx1 = jnp.floor(x1 / tile_w).astype(jnp.int32)
+    ty0 = jnp.floor(y0 / tile_h).astype(jnp.int32)
+    ty1 = jnp.floor(y1 / tile_h).astype(jnp.int32)
 
-    n_tx = _pad_to(width, TILE_W) // TILE_W
-    n_ty = _pad_to(height, TILE_H) // TILE_H
+    n_tx = _pad_to(width, tile_w) // tile_w
+    n_ty = _pad_to(height, tile_h) // tile_h
     tiles_x = jnp.arange(n_tx, dtype=jnp.int32)
     tiles_y = jnp.arange(n_ty, dtype=jnp.int32)
 
@@ -104,6 +104,7 @@ def bin_triangles(verts, faces, intrinsics, w2c, width, height, nr_cand,
 
     # fixed-size candidate ids: smallest face indices first via top_k on
     # (F - index) scores; 0 means "no triangle"
+    nr_cand = min(nr_cand, F)  # budget can't exceed the face count
     iota = jnp.arange(F, dtype=jnp.int32)
     scores = jnp.where(ovl, F - iota, 0)
     topv, _ = jax.lax.top_k(scores, nr_cand)
@@ -235,19 +236,19 @@ def bin_triangles_2level(verts, faces, intrinsics, w2c, width, height,
     return cand_f, overflow
 
 
-def tile_rays(intrinsics, c2w, width, height):
-    """Per-tile pixel ray directions in world space, SoA [T, 128] layout,
-    plus the shared origin. Matches datasets.cameras.get_camera_rays
+def tile_rays(intrinsics, c2w, width, height, tile_h=TILE_H, tile_w=TILE_W):
+    """Per-tile pixel ray directions in world space, SoA [T, tile_h*tile_w]
+    layout, plus the shared origin. Matches datasets.cameras.get_camera_rays
     (pixel centers at +0.5, OpenCV c2w)."""
-    n_tx = _pad_to(width, TILE_W) // TILE_W
-    n_ty = _pad_to(height, TILE_H) // TILE_H
+    n_tx = _pad_to(width, tile_w) // tile_w
+    n_ty = _pad_to(height, tile_h) // tile_h
     ty, tx, py, px = jnp.meshgrid(
         jnp.arange(n_ty), jnp.arange(n_tx),
-        jnp.arange(TILE_H), jnp.arange(TILE_W),
+        jnp.arange(tile_h), jnp.arange(tile_w),
         indexing="ij",
     )
-    ix = (tx * TILE_W + px).astype(jnp.float32) + 0.5  # pixel x
-    iy = (ty * TILE_H + py).astype(jnp.float32) + 0.5
+    ix = (tx * tile_w + px).astype(jnp.float32) + 0.5  # pixel x
+    iy = (ty * tile_h + py).astype(jnp.float32) + 0.5
     fx, fy = intrinsics[0, 0], intrinsics[1, 1]
     cx, cy = intrinsics[0, 2], intrinsics[1, 2]
     xc = (ix - cx) / fx
@@ -257,7 +258,7 @@ def tile_rays(intrinsics, c2w, width, height):
     dy = R[1, 0] * xc + R[1, 1] * yc + R[1, 2]
     dz = R[2, 0] * xc + R[2, 1] * yc + R[2, 2]
     norm = jnp.sqrt(dx * dx + dy * dy + dz * dz)
-    shape = (n_ty * n_tx, TILE_P)
+    shape = (n_ty * n_tx, tile_h * tile_w)
     dirs = (
         (dx / norm).reshape(shape),
         (dy / norm).reshape(shape),
@@ -267,73 +268,85 @@ def tile_rays(intrinsics, c2w, width, height):
     return dirs, origin
 
 
-def raster_mesh(tables, cand, dirs, origin, eps=1e-9):
+def raster_mesh(tables, cand, dirs, origin, eps=1e-9, chunk=8):
     """Closest hit of every tile pixel against its candidate triangles.
 
-    lax.scan over the K candidate slots; each step broadcasts one triangle
-    per tile ([T, 1]) against the tile's 128 pixel rays ([T, 128]) — dense
-    full-lane VPU work, no gathers inside the scan.
+    lax.scan over K/chunk candidate slots; each step broadcasts `chunk`
+    triangles per tile ([T, 1]) against the tile's pixel rays ([T, P]) —
+    dense full-lane VPU work, no gathers inside the scan. The inner chunk
+    loop is unrolled: scan steps carry fixed bookkeeping overhead on TPU, so
+    fewer/fatter steps measure ~4x faster than one triangle per step at
+    identical math (update order along candidates is preserved).
 
     Returns (is_hit [T, P], t [T, P], u [T, P], v [T, P], face [T, P]).
     """
     dx, dy, dz = dirs
     ox, oy, oz = (jnp.float32(origin[0]), jnp.float32(origin[1]),
                   jnp.float32(origin[2]))
-    T = cand.shape[0]
+    T, K = cand.shape
+    P = dx.shape[1]
+
+    Kp = _pad_to(K, chunk)
+    if Kp != K:
+        cand = jnp.concatenate(
+            [cand, jnp.full((T, Kp - K), -1, cand.dtype)], axis=1
+        )
 
     tri_data = jnp.where(
         (cand >= 0)[..., None],
         tables["tri"][jnp.maximum(cand, 0)],
         0.0,
-    )  # [T, K, 9] — one gather per frame, outside the scan
+    )  # [T, Kp, 9] — one gather per frame, outside the scan
 
     def step(carry, inp):
-        t_best, u_b, v_b, f_b = carry
-        tri, fid = inp  # [T, 9], [T]
-        c = lambda j: tri[:, j][:, None]  # [T, 1] broadcast over pixels
-        v0x, v0y, v0z = c(0), c(1), c(2)
-        e1x, e1y, e1z = c(3), c(4), c(5)
-        e2x, e2y, e2z = c(6), c(7), c(8)
-        px = dy * e2z - dz * e2y
-        py = dz * e2x - dx * e2z
-        pz = dx * e2y - dy * e2x
-        det = e1x * px + e1y * py + e1z * pz
-        inv_det = jnp.where(
-            jnp.abs(det) > eps, 1.0 / jnp.where(det == 0, 1.0, det), 0.0
-        )
-        tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
-        u = (tvx * px + tvy * py + tvz * pz) * inv_det
-        qx = tvy * e1z - tvz * e1y
-        qy = tvz * e1x - tvx * e1z
-        qz = tvx * e1y - tvy * e1x
-        v = (dx * qx + dy * qy + dz * qz) * inv_det
-        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-        closer = (
-            (fid >= 0)[:, None]
-            & (jnp.abs(det) > eps)
-            & (u >= 0.0)
-            & (v >= 0.0)
-            & (u + v <= 1.0)
-            & (t > 1e-6)
-            & (t < t_best)
-        )
-        t_best = jnp.where(closer, t, t_best)
-        u_b = jnp.where(closer, u, u_b)
-        v_b = jnp.where(closer, v, v_b)
-        f_b = jnp.where(closer, fid[:, None], f_b)
-        return (t_best, u_b, v_b, f_b), None
+        tri_c, fid_c = inp  # [T, chunk, 9], [T, chunk]
+        for j in range(chunk):
+            t_best, u_b, v_b, f_b = carry
+            tri = tri_c[:, j]
+            fid = fid_c[:, j]
+            c = lambda j: tri[:, j][:, None]  # [T, 1] broadcast over pixels
+            v0x, v0y, v0z = c(0), c(1), c(2)
+            e1x, e1y, e1z = c(3), c(4), c(5)
+            e2x, e2y, e2z = c(6), c(7), c(8)
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv_det = jnp.where(
+                jnp.abs(det) > eps, 1.0 / jnp.where(det == 0, 1.0, det), 0.0
+            )
+            tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+            u = (tvx * px + tvy * py + tvz * pz) * inv_det
+            qx = tvy * e1z - tvz * e1y
+            qy = tvz * e1x - tvx * e1z
+            qz = tvx * e1y - tvy * e1x
+            v = (dx * qx + dy * qy + dz * qz) * inv_det
+            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            closer = (
+                (fid >= 0)[:, None]
+                & (jnp.abs(det) > eps)
+                & (u >= 0.0)
+                & (v >= 0.0)
+                & (u + v <= 1.0)
+                & (t > 1e-6)
+                & (t < t_best)
+            )
+            t_best = jnp.where(closer, t, t_best)
+            u_b = jnp.where(closer, u, u_b)
+            v_b = jnp.where(closer, v, v_b)
+            f_b = jnp.where(closer, fid[:, None], f_b)
+            carry = (t_best, u_b, v_b, f_b)
+        return carry, None
 
     init = (
-        jnp.full((T, TILE_P), jnp.inf),
-        jnp.zeros((T, TILE_P)),
-        jnp.zeros((T, TILE_P)),
-        jnp.full((T, TILE_P), -1, jnp.int32),
+        jnp.full((T, P), jnp.inf),
+        jnp.zeros((T, P)),
+        jnp.zeros((T, P)),
+        jnp.full((T, P), -1, jnp.int32),
     )
-    (t_best, u_b, v_b, f_b), _ = jax.lax.scan(
-        step,
-        init,
-        (jnp.swapaxes(tri_data, 0, 1), cand.T),  # K-major
-    )
+    tri_chunks = jnp.swapaxes(tri_data.reshape(T, Kp // chunk, chunk, 9), 0, 1)
+    fid_chunks = jnp.swapaxes(cand.reshape(T, Kp // chunk, chunk), 0, 1)
+    (t_best, u_b, v_b, f_b), _ = jax.lax.scan(step, init, (tri_chunks, fid_chunks))
     is_hit = f_b >= 0
     return is_hit, t_best, u_b, v_b, f_b
 
@@ -349,13 +362,13 @@ def interp_uv(tables, f_b, u_b, v_b):
     )
 
 
-def tiles_to_image(x, width, height):
+def tiles_to_image(x, width, height, tile_h=TILE_H, tile_w=TILE_W):
     """[T, P, C] tile-order -> [H, W, C] image (crop padding)."""
-    n_tx = _pad_to(width, TILE_W) // TILE_W
-    n_ty = _pad_to(height, TILE_H) // TILE_H
+    n_tx = _pad_to(width, tile_w) // tile_w
+    n_ty = _pad_to(height, tile_h) // tile_h
     C = x.shape[-1]
-    img = x.reshape(n_ty, n_tx, TILE_H, TILE_W, C)
+    img = x.reshape(n_ty, n_tx, tile_h, tile_w, C)
     img = jnp.transpose(img, (0, 2, 1, 3, 4)).reshape(
-        n_ty * TILE_H, n_tx * TILE_W, C
+        n_ty * tile_h, n_tx * tile_w, C
     )
     return img[:height, :width]
