@@ -189,6 +189,46 @@ def test_footprint_sampling_matches_four_corner_reference(baked_scene):
             offs += C
 
 
+def test_backface_cull_preserves_hits_for_outside_camera(baked_scene):
+    """Culling backfaces of a closed shell must not change any closest hit
+    when the camera is outside the mesh."""
+    from volsurfs_tpu.renderers.mesh_renderer import BakedMeshRenderer
+
+    r = BakedMeshRenderer(baked_scene, bg_color="white")
+    cam = OrbitCamera(32, 32, radius=2.0).camera()
+    intr = jnp.asarray(cam.intrinsics, jnp.float32)
+    c2w = jnp.asarray(cam.pose, jnp.float32)
+    w2c = jnp.asarray(np.linalg.inv(cam.pose), jnp.float32)
+    assert r._cameras_outside(cam.pose)
+    dirs, origin = raster.tile_rays(intr, c2w, cam.width, cam.height)
+    for i, mesh in enumerate(r.meshes):
+        sign = r._cull_signs[i]
+        assert sign != 0  # closed marching-cubes shells are oriented
+        budget = int(mesh.faces.shape[0])
+        outs = []
+        for cs in (0, sign):
+            cand, ovf = raster.bin_triangles(
+                mesh.verts, mesh.faces, intr, w2c, cam.width, cam.height,
+                budget, cull_sign=cs,
+            )
+            assert not bool(np.asarray(ovf).any())
+            outs.append(raster.raster_mesh(
+                r._scene["raster_tables"][i], cand, dirs, origin
+            ))
+        (h0, t0, u0, v0, f0), (h1, t1, u1, v1, f1) = outs
+        np.testing.assert_array_equal(np.asarray(h0), np.asarray(h1))
+        np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
+        np.testing.assert_allclose(
+            np.asarray(t0)[np.asarray(h0)], np.asarray(t1)[np.asarray(h1)]
+        )
+        # culling actually removes candidates (about half the faces)
+        n_cull = int((np.asarray(cand) >= 0).sum())
+        cand_all, _ = raster.bin_triangles(
+            mesh.verts, mesh.faces, intr, w2c, cam.width, cam.height, budget
+        )
+        assert n_cull < int((np.asarray(cand_all) >= 0).sum())
+
+
 def test_overflow_flag_fires_when_budget_too_small(baked_scene):
     from volsurfs_tpu.renderers.mesh_renderer import BakedMeshRenderer
 

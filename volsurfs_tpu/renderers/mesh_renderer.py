@@ -150,12 +150,26 @@ class BakedMeshRenderer:
                 for m in self.meshes
             ],
         }
+        # static per-mesh cull signs + bounds for the raster fast path:
+        # backfaces of closed consistently-wound shells never produce the
+        # closest hit when the camera is outside the mesh
+        self._cull_signs = [
+            raster.mesh_orientation(m.verts, m.faces) for m in self.meshes
+        ]
+        self._bbox_min = np.stack(
+            [np.asarray(m.verts).min(0) for m in self.meshes]
+        )
+        self._bbox_max = np.stack(
+            [np.asarray(m.verts).max(0) for m in self.meshes]
+        )
         self._render_jit = jax.jit(self._render_rays)
         self._render_frame_jit = jax.jit(
-            self._render_frame_tiles, static_argnames=("width", "height", "nr_cand")
+            self._render_frame_tiles,
+            static_argnames=("width", "height", "nr_cand", "use_cull"),
         )
         self._render_frames_jit = jax.jit(
-            self._render_frames_scan, static_argnames=("width", "height", "nr_cand")
+            self._render_frames_scan,
+            static_argnames=("width", "height", "nr_cand", "use_cull"),
         )
 
     # ---- core ----------------------------------------------------------------
@@ -259,7 +273,7 @@ class BakedMeshRenderer:
     _BLOCK_W = 64
 
     def _render_frame_tiles(self, scene, intrinsics, c2w, w2c, *, width,
-                            height, nr_cand):
+                            height, nr_cand, use_cull=False):
         """One whole frame via the tile-binned rasterizer (renderers/raster.py):
         dense per-tile candidate loops instead of per-ray BVH pointer chasing."""
         bh, bw = self._BLOCK_H, self._BLOCK_W
@@ -273,6 +287,7 @@ class BakedMeshRenderer:
             cand, ovf = raster.bin_triangles(
                 mesh.verts, mesh.faces, intrinsics, w2c, width, height,
                 nr_cand, tile_h=bh, tile_w=bw,
+                cull_sign=self._cull_signs[i] if use_cull else 0,
             )
             overflow = overflow + jnp.sum(ovf)
             is_hit, t, u, v, f = raster.raster_mesh(tables, cand, dirs, origin)
@@ -288,7 +303,7 @@ class BakedMeshRenderer:
         )
 
     def _render_frames_scan(self, scene, intr_b, c2w_b, w2c_b, *, width,
-                            height, nr_cand):
+                            height, nr_cand, use_cull=False):
         """lax.scan over a batch of cameras: renders B frames in ONE
         executable so per-frame host dispatch (expensive through remote
         tunnels, and pure overhead for a swapchain workload) is paid once."""
@@ -297,7 +312,7 @@ class BakedMeshRenderer:
             intr, c2w, w2c = cams
             img, ovf = self._render_frame_tiles(
                 scene, intr, c2w, w2c, width=width, height=height,
-                nr_cand=nr_cand,
+                nr_cand=nr_cand, use_cull=use_cull,
             )
             return None, (img, ovf)
 
@@ -309,7 +324,7 @@ class BakedMeshRenderer:
     def render_rays(self, rays_o, rays_d):
         return self._render_jit(self._scene, rays_o, rays_d)
 
-    def render_frame_device(self, camera, nr_cand: int = 512):
+    def render_frame_device(self, camera, nr_cand: int = 256):
         """Rasterized frame as DEVICE arrays (img [H, W, 3] f32, overflow
         scalar) — no host sync, so frames can be pipelined back to back."""
         intr = jnp.asarray(camera.intrinsics, jnp.float32)
@@ -318,31 +333,45 @@ class BakedMeshRenderer:
         return self._render_frame_jit(
             self._scene, intr, c2w, w2c,
             width=camera.width, height=camera.height, nr_cand=nr_cand,
+            use_cull=self._cameras_outside(camera.pose),
         )
 
-    def render_frames_device(self, cameras, nr_cand: int = 512):
+    def _cameras_outside(self, poses):
+        """True iff every camera center sits outside every mesh bbox (the
+        precondition for backface culling)."""
+        origins = np.asarray(poses, np.float32).reshape(-1, 4, 4)[:, :3, 3]
+        inside = np.all(
+            (origins[:, None, :] >= self._bbox_min[None] - 1e-3)
+            & (origins[:, None, :] <= self._bbox_max[None] + 1e-3),
+            axis=-1,
+        )
+        return not bool(inside.any())
+
+    def render_frames_device(self, cameras, nr_cand: int = 256):
         """Batched frame render: all cameras drawn inside one executable
         (lax.scan). Returns (imgs [B, H, W, 3] f32 DEVICE array, overflow
         scalar) without host sync — the real-time path for frame sequences."""
         w = cameras[0].width
         h = cameras[0].height
+        poses = np.stack([c.pose for c in cameras])
         intr_b = jnp.asarray(
             np.stack([c.intrinsics for c in cameras]), jnp.float32
         )
-        c2w_b = jnp.asarray(np.stack([c.pose for c in cameras]), jnp.float32)
+        c2w_b = jnp.asarray(poses, jnp.float32)
         w2c_b = jnp.asarray(
             np.stack([np.linalg.inv(c.pose) for c in cameras]), jnp.float32
         )
         return self._render_frames_jit(
             self._scene, intr_b, c2w_b, w2c_b, width=w, height=h,
-            nr_cand=nr_cand,
+            nr_cand=nr_cand, use_cull=self._cameras_outside(poses),
         )
 
-    def render_frame(self, camera, nr_cand: int = 512):
+    def render_frame(self, camera, nr_cand: int = 256):
         """Full frame via rasterization — the fast path for camera frames
         (the reference's real-time usage). Returns [H, W, 3] float numpy.
         Retries with a larger candidate budget if any block overflowed (a
-        drop would otherwise leave holes)."""
+        drop would otherwise leave holes). Backfaces are culled whenever the
+        camera is outside every shell (never changes the closest hit there)."""
         while True:
             img, overflow = self.render_frame_device(camera, nr_cand)
             if int(overflow) == 0 or nr_cand >= 8192:

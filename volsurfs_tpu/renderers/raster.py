@@ -55,9 +55,28 @@ def mesh_raster_tables(verts, faces, uvs):
     return {"tri": tri, "uv_tri": uv_tri}
 
 
+def mesh_orientation(verts, faces):
+    """+1 if the mesh is wound with outward normals (positive signed
+    volume), -1 if inward, 0 if degenerate/ambiguous (|V| tiny). Host-side,
+    used to pick the backface-cull sign for closed shells."""
+    verts = np.asarray(verts, np.float64)
+    faces = np.asarray(faces, np.int64)
+    v0, v1, v2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
+    vol = np.sum(np.einsum("ij,ij->i", v0, np.cross(v1, v2))) / 6.0
+    scale = np.abs(verts).max() + 1e-12
+    if np.abs(vol) < 1e-9 * scale**3:
+        return 0
+    return 1 if vol > 0 else -1
+
+
 def bin_triangles(verts, faces, intrinsics, w2c, width, height, nr_cand,
-                  near=0.05, tile_h=TILE_H, tile_w=TILE_W):
+                  near=0.05, tile_h=TILE_H, tile_w=TILE_W, cull_sign=0):
     """Project vertices and build fixed-size per-tile candidate lists.
+
+    cull_sign: 0 keeps every triangle; +-1 drops backfaces of a closed,
+    consistently wound mesh (sign = mesh_orientation). Only valid when the
+    camera is outside the mesh — there the closest hit is always a front
+    face, so culling cannot change the rendered image.
 
     Returns cand [T, K] int32 face ids (-1 empty), and overflow [T] bool
     (true where more than K triangles overlapped the tile).
@@ -78,6 +97,12 @@ def bin_triangles(verts, faces, intrinsics, w2c, width, height, nr_cand,
     f_sy = sy[faces]
     f_z = z[faces]
     valid = jnp.all(f_z > near, axis=-1)
+    if cull_sign:
+        origin = -R.T @ t  # camera center in world space
+        wv0 = verts[faces[:, 0]]
+        n = jnp.cross(verts[faces[:, 1]] - wv0, verts[faces[:, 2]] - wv0)
+        facing = jnp.einsum("ij,ij->i", n, wv0 - origin[None, :])
+        valid = valid & (jnp.float32(cull_sign) * facing < 0.0)
 
     x0 = jnp.min(f_sx, axis=-1)
     x1 = jnp.max(f_sx, axis=-1)
