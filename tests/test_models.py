@@ -124,6 +124,106 @@ def test_sdf_field_and_gradients():
     np.testing.assert_allclose(np.asarray(g_fd), np.asarray(g_ad), atol=5e-3)
 
 
+def test_encoder_analytic_spatial_grads_match_fd():
+    """with_grads jacobian == finite differences of the encoder output, for
+    both hash encoders (piecewise linear: use a small interior step)."""
+    pts = jax.random.uniform(jax.random.PRNGKey(3), (64, 3), minval=-0.6, maxval=0.6)
+    for enc in (
+        E.HashGridEncoder(nr_levels=6, finest_res=64.0, log2_hashmap_size=10),
+        E.PermutoEncoder(nr_levels=6, finest_scale=0.02, log2_hashmap_size=10),
+        E.FrequencyEncoder(),
+        E.IdentityEncoder(),
+    ):
+        params = enc.init(jax.random.PRNGKey(4), pts)
+        feats0, dfeats, _ = enc.apply(params, pts, None, True)
+        f_plain = enc.apply(params, pts)[0]
+        np.testing.assert_allclose(
+            np.asarray(feats0), np.asarray(f_plain), atol=1e-6
+        )
+        eps = 1e-4
+        for k in range(3):
+            off = np.zeros(3, np.float32)
+            off[k] = eps
+            f1, *_ = enc.apply(params, pts + off, None, False)
+            fd = (np.asarray(f1) - np.asarray(feats0)) / eps
+            # a few points straddle cell boundaries where the jacobian jumps;
+            # compare the bulk
+            err = np.abs(fd - np.asarray(dfeats[..., k]))
+            scale = np.abs(fd).max() + 1e-3
+            assert np.quantile(err / scale, 0.9) < 2e-2, type(enc).__name__
+
+
+def test_mlp_tangent_propagation_matches_jvp():
+    mlp = MLP((16, 16, 4), last_layer_linear=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (32, 8))
+    t = jax.random.normal(jax.random.PRNGKey(1), (32, 8, 3))
+    params = mlp.init(jax.random.PRNGKey(2), x)
+    y, dy = mlp.apply(params, x, t)
+    y_plain = mlp.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_plain), atol=1e-5)
+    for k in range(3):
+        _, jvp_k = jax.jvp(lambda xx: mlp.apply(params, xx), (x,), (t[..., k],))
+        np.testing.assert_allclose(
+            np.asarray(dy[..., k]), np.asarray(jvp_k), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_sdf_with_grads_table_gradient_correct():
+    """Training gradient (w.r.t. the hash table) of a loss that uses the
+    analytic sdf_grad must match numerical differentiation of the loss.
+    Runs in float64: the check needs FD resolution far below the fine-level
+    gradient magnitudes (verified exact to ~1e-5 relative in f64)."""
+    import contextlib
+
+    import flax
+
+    @contextlib.contextmanager
+    def enable_x64():
+        jax.config.update("jax_enable_x64", True)
+        try:
+            yield
+        finally:
+            jax.config.update("jax_enable_x64", False)
+
+    with enable_x64():
+        sdf = F.SDF(mlp_layers_dims=(16,), encoding_type="gridhash", geom_feat_size=4)
+        pts = jax.random.uniform(jax.random.PRNGKey(0), (16, 3), minval=-0.5, maxval=0.5)
+        params = sdf.init(jax.random.PRNGKey(1), pts)
+
+        v, f, g = sdf.apply(params, pts, None, True)
+        assert v.shape == (16, 1) and g.shape == (16, 3)
+        v2, _ = sdf.apply(params, pts)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(v2), atol=1e-6)
+
+        def loss_fn(p):
+            v, _, g = sdf.apply(p, pts, None, True)
+            return jnp.sum(v**2) + jnp.sum(
+                (jnp.linalg.norm(g, axis=-1) - 1.0) ** 2
+            )
+
+        grad = jax.grad(loss_fn)(params)
+        table = params["params"]["HashGridEncoder_0"]["table"]
+        gtable = np.asarray(grad["params"]["HashGridEncoder_0"]["table"])
+        # numerical check on the 8 largest-gradient entries
+        flat = np.abs(gtable).reshape(-1)
+        order = np.argsort(-flat)[:8]
+        eps = 1e-6
+
+        def loss_at(idx, delta):
+            t2 = np.asarray(table).copy()
+            t2[idx] += delta
+            p2 = flax.core.unfreeze(params)
+            p2["params"]["HashGridEncoder_0"]["table"] = jnp.asarray(t2)
+            return float(loss_fn(p2))
+
+        for o in order:
+            idx = np.unravel_index(o, gtable.shape)
+            fd = (loss_at(idx, eps) - loss_at(idx, -eps)) / (2 * eps)
+            assert abs(fd - gtable[idx]) < 1e-3 * max(1.0, abs(gtable[idx])), (
+                idx, fd, gtable[idx]
+            )
+
+
 def test_offsets_sdf_ordering():
     model = F.OffsetsSDF(
         mlp_layers_dims=(32, 32),

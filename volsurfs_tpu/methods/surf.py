@@ -189,6 +189,24 @@ class Surf:
     def _sdf_fn(self, params, points, iter_nr):
         return self.sdf_model.apply(params["sdf"], points, iter_nr)
 
+    def _sdf_with_grad(self, params, points, iter_nr):
+        """(sdf, geom_feat, sdf_grad): analytic encoder-jacobian gradients
+        (hp.sdf_grads_mode="autodiff", one fused backward scatter) or the
+        reference's 4-point finite difference ("finite_diff",
+        volsurfs_py/utils/fields_utils.py:6-80)."""
+        if self.hp.sdf_grads_mode == "autodiff":
+            return self.sdf_model.apply(
+                params["sdf"], points, iter_nr, with_grads=True
+            )
+        sdf, geom_feat = self._sdf_fn(params, points, iter_nr)
+        grad = get_field_gradients(
+            lambda p: self._sdf_fn(params, p, iter_nr), points
+        )
+        return sdf, geom_feat, grad
+
+    def _sdf_grad_only(self, params, points, iter_nr):
+        return self._sdf_with_grad(params, points, iter_nr)[2]
+
     def _rgb_fn(self, params, points, dirs, normals, geom_feat, iter_nr):
         return self.rgb_model.apply(
             params["rgb"], points, dirs, normals, geom_feat, iter_nr
@@ -272,10 +290,7 @@ class Surf:
 
         # foreground volumetric (reference surf.py:305-548)
         pos = samples.positions()
-        sdf, geom_feat = self._sdf_fn(params, pos, iter_nr)
-        sdf_grad = get_field_gradients(
-            lambda p: self._sdf_fn(params, p, iter_nr), pos
-        )
+        sdf, geom_feat, sdf_grad = self._sdf_with_grad(params, pos, iter_nr)
         normals = safe_normalize(sdf_grad)
         rgb_samples = self._rgb_fn(
             params, pos, samples.dirs(), normals, geom_feat, iter_nr
@@ -341,10 +356,7 @@ class Surf:
         # random-point regularizers
         nr_points = 1024
         r_points = self.bounding_primitive.get_random_points_inside(k_pts, nr_points)
-        r_sdf, _ = self._sdf_fn(params, r_points, iter_nr)
-        r_grad = get_field_gradients(
-            lambda p: self._sdf_fn(params, p, iter_nr), r_points
-        )
+        r_sdf, _, r_grad = self._sdf_with_grad(params, r_points, iter_nr)
 
         samples = res["samples"]
         s_mask = samples.mask
@@ -377,6 +389,7 @@ class Surf:
             curv = get_sdf_curvature(
                 lambda p: self._sdf_fn(params, p, iter_nr),
                 samples.positions(), s_grad, k_curv,
+                grad_fn=lambda p: self._sdf_grad_only(params, p, iter_nr),
             )
             curv = jnp.where(s_mask[..., None], curv, 0.0)
             denom = jnp.clip(jnp.sum(s_mask), 1)
@@ -415,8 +428,7 @@ class Surf:
         sdf_gt = (
             jnp.linalg.norm(points, axis=-1, keepdims=True) - self.init_sphere_radius
         )
-        sdf_pred, _ = self._sdf_fn(params, points, iter_nr)
-        grad = get_field_gradients(lambda p: self._sdf_fn(params, p, iter_nr), points)
+        sdf_pred, _, grad = self._sdf_with_grad(params, points, iter_nr)
         loss_sdf = jnp.mean((sdf_pred - sdf_gt) ** 2)
         loss_eik = jnp.mean((safe_norm(grad, axis=-1) - 1.0) ** 2)
         loss = loss_sdf + loss_eik * 1e-3

@@ -74,7 +74,10 @@ class IdentityEncoder(nn.Module):
         return self.input_dim
 
     @nn.compact
-    def __call__(self, points, iter_nr=None):
+    def __call__(self, points, iter_nr=None, with_grads=False):
+        if with_grads:
+            eye = jnp.broadcast_to(jnp.eye(3), points.shape[:-1] + (3, 3))
+            return points, eye, None
         return points, None
 
 
@@ -92,13 +95,23 @@ class FrequencyEncoder(nn.Module):
         )
 
     @nn.compact
-    def __call__(self, points, iter_nr=None):
+    def __call__(self, points, iter_nr=None, with_grads=False):
         feats = [points] if self.include_input else []
         for level in range(self.multires):
             freq = 2.0**level
             feats.append(jnp.sin(points * freq))
             feats.append(jnp.cos(points * freq))
-        return jnp.concatenate(feats, axis=-1), None
+        out = jnp.concatenate(feats, axis=-1)
+        if not with_grads:
+            return out, None
+        eye = jnp.eye(3)
+        diag = lambda v: v[..., :, None] * eye  # [..., 3, 3]
+        dfeats = [diag(jnp.ones_like(points))] if self.include_input else []
+        for level in range(self.multires):
+            freq = 2.0**level
+            dfeats.append(diag(freq * jnp.cos(points * freq)))
+            dfeats.append(diag(-freq * jnp.sin(points * freq)))
+        return out, jnp.concatenate(dfeats, axis=-2), None
 
 
 class SHEncoder(nn.Module):
@@ -161,8 +174,11 @@ class HashGridEncoder(nn.Module):
         return np.geomspace(self.coarsest_res, self.finest_res, self.nr_levels)
 
     @nn.compact
-    def __call__(self, points, iter_nr=None):
-        """points [..., 3] in the bb -> ([..., output_dim], out_of_bounds [...])."""
+    def __call__(self, points, iter_nr=None, with_grads=False):
+        """points [..., 3] in the bb -> ([..., output_dim], out_of_bounds [...]),
+        or with_grads=True -> (feats, dfeats/dpoints [..., output_dim, 3], oob)
+        computed analytically from the same gathered corners (one scatter in
+        the backward; see _hash_lookup_grad)."""
         assert points.shape[-1] == self.input_dim == 3
         T = 2**self.log2_hashmap_size
         L, F = self.nr_levels, self.nr_feat_per_level
@@ -174,6 +190,13 @@ class HashGridEncoder(nn.Module):
         )
 
         unit, out_of_bounds = _rescale_to_unit(points, self.bb_sides)
+        if self.bb_sides is None:
+            dunit_dp = jnp.ones((3,), jnp.float32)
+        else:
+            half = jnp.broadcast_to(
+                jnp.asarray(self.bb_sides, jnp.float32) / 2.0, (3,)
+            )
+            dunit_dp = 1.0 / (2.0 * half)  # [3]
 
         # c2f window (reference permutohash.py:72-77)
         if iter_nr is None:
@@ -197,7 +220,7 @@ class HashGridEncoder(nn.Module):
         # 8 trilinear corners, fetched with one fused lookup (single gather;
         # custom VJP emits one scatter-add — see _hash_lookup)
         level_off = (jnp.arange(L, dtype=jnp.int32) * T)[None, :]
-        corner_idx, corner_w = [], []
+        corner_idx, corner_w, corner_dw = [], [], []
         for corner in range(8):
             offset = jnp.asarray(
                 [(corner >> 0) & 1, (corner >> 1) & 1, (corner >> 2) & 1],
@@ -205,21 +228,53 @@ class HashGridEncoder(nn.Module):
             )
             c = floor + offset[None, None, :]
             corner_idx.append(_hash_coords(c, T) + level_off)  # [N, L]
-            corner_w.append(jnp.prod(
-                jnp.where(offset[None, None, :] == 1, frac, 1.0 - frac), axis=-1
-            ))
+            terms = jnp.where(offset[None, None, :] == 1, frac, 1.0 - frac)
+            corner_w.append(jnp.prod(terms, axis=-1))
+            if with_grads:
+                # d w_c / d p_k = sign_k * prod_{d != k} t_d * res_l * dunit_k
+                sign = jnp.where(offset == 1, 1.0, -1.0)  # [3]
+                pe = jnp.stack(
+                    [
+                        terms[..., 1] * terms[..., 2],
+                        terms[..., 0] * terms[..., 2],
+                        terms[..., 0] * terms[..., 1],
+                    ],
+                    axis=-1,
+                )  # [N, L, 3]
+                corner_dw.append(
+                    sign[None, None, :] * pe
+                    * res[None, :, None] * dunit_dp[None, None, :]
+                )
         flat_idx = jnp.stack(corner_idx, axis=-1)  # [N, L, 8]
         weights = jnp.stack(corner_w, axis=-1)  # [N, L, 8]
-        feats = _hash_lookup(table.reshape(L * T, F), flat_idx, weights)
+        flat_table = table.reshape(L * T, F)
 
+        if not with_grads:
+            feats = _hash_lookup(flat_table, flat_idx, weights)
+            feats = feats * window[None, :, None]
+            feats = feats.reshape(*batch_shape, L * F)
+            if self.concat_points:
+                feats = jnp.concatenate([feats, unit], axis=-1)
+            if self.remove_last_element:
+                feats = feats[..., :-1]
+            return feats, out_of_bounds
+
+        dweights = jnp.stack(corner_dw, axis=-2)  # [N, L, 8, 3]
+        feats, dfeats = _hash_lookup_grad(flat_table, flat_idx, weights, dweights)
         feats = feats * window[None, :, None]
+        dfeats = dfeats * window[None, :, None, None]
         feats = feats.reshape(*batch_shape, L * F)
-
+        dfeats = dfeats.reshape(*batch_shape, L * F, 3)
         if self.concat_points:
             feats = jnp.concatenate([feats, unit], axis=-1)
+            dunit = jnp.broadcast_to(
+                jnp.diag(dunit_dp), batch_shape + (3, 3)
+            )
+            dfeats = jnp.concatenate([dfeats, dunit], axis=-2)
         if self.remove_last_element:
             feats = feats[..., :-1]
-        return feats, out_of_bounds
+            dfeats = dfeats[..., :-1, :]
+        return feats, dfeats, out_of_bounds
 
 
 @jax.custom_vjp
@@ -249,11 +304,76 @@ def _hash_lookup_bwd(res, dout):
     # dout [N, L, F]
     d_bary = jnp.sum(g * dout[:, :, None, :], axis=-1)  # [N, L, C]
     upd = (bary[..., None] * dout[:, :, None, :]).reshape(-1, table_shape[-1])
-    d_table = jnp.zeros(table_shape, dout.dtype).at[flat_idx.reshape(-1)].add(upd)
+    # scalar-flat scatter: one 1-D scatter of M*F scalars instead of M rows
+    # of F — measures 3x faster on v5e (scripts/bench_scatter.py: 34 vs 11.5
+    # M row-updates/s; XLA's row scatter pays per-row overhead that the
+    # scalar form amortizes across lanes)
+    F = table_shape[-1]
+    rows = flat_idx.reshape(-1)
+    i2 = (rows[:, None] * F + jnp.arange(F, dtype=rows.dtype)[None, :]).reshape(-1)
+    d_table = (
+        jnp.zeros((table_shape[0] * F,), dout.dtype)
+        .at[i2]
+        .add(upd.reshape(-1))
+        .reshape(table_shape)
+    )
     return d_table, None, d_bary
 
 
 _hash_lookup.defvjp(_hash_lookup_fwd, _hash_lookup_bwd)
+
+
+@jax.custom_vjp
+def _hash_lookup_grad(flat_table, flat_idx, bary, dbary):
+    """Fused lookup returning features AND their spatial jacobian from ONE
+    gather set.
+
+    flat_table [L*T, F]; flat_idx [N, L, C]; bary [N, L, C] interpolation
+    weights; dbary [N, L, C, 3] their analytic spatial derivatives.
+    Returns (feats [N, L, F], dfeats [N, L, F, 3]).
+
+    The TPU-native replacement for the reference's 4-point finite-difference
+    field gradients (volsurfs_py/utils/fields_utils.py:6-80): both outputs
+    share the gathered corner rows, and the custom VJP merges the feature
+    and jacobian cotangents into ONE scalar scatter — table-gradient scatter
+    traffic (the dominant train-step cost on TPU; scripts/bench_scatter.py)
+    drops ~5x vs differentiating 4 separate evaluations.
+    """
+    g = flat_table[flat_idx]  # [N, L, C, F]
+    feats = jnp.sum(bary[..., None] * g, axis=2)
+    dfeats = jnp.einsum("nlck,nlcf->nlfk", dbary, g)
+    return feats, dfeats
+
+
+def _hash_lookup_grad_fwd(flat_table, flat_idx, bary, dbary):
+    g = flat_table[flat_idx]
+    feats = jnp.sum(bary[..., None] * g, axis=2)
+    dfeats = jnp.einsum("nlck,nlcf->nlfk", dbary, g)
+    return (feats, dfeats), (g, flat_idx, bary, dbary, flat_table.shape)
+
+
+def _hash_lookup_grad_bwd(res, cots):
+    g, flat_idx, bary, dbary, table_shape = res
+    gf, gd = cots  # [N, L, F], [N, L, F, 3]
+    # corner-row cotangent from BOTH outputs, one scatter
+    cot_g = bary[..., None] * gf[:, :, None, :] + jnp.einsum(
+        "nlck,nlfk->nlcf", dbary, gd
+    )  # [N, L, C, F]
+    d_bary = jnp.sum(g * gf[:, :, None, :], axis=-1)
+    d_dbary = jnp.einsum("nlcf,nlfk->nlck", g, gd)
+    F = table_shape[-1]
+    rows = flat_idx.reshape(-1)
+    i2 = (rows[:, None] * F + jnp.arange(F, dtype=rows.dtype)[None, :]).reshape(-1)
+    d_table = (
+        jnp.zeros((table_shape[0] * F,), gf.dtype)
+        .at[i2]
+        .add(cot_g.reshape(-1))
+        .reshape(table_shape)
+    )
+    return d_table, None, d_bary, d_dbary
+
+
+_hash_lookup_grad.defvjp(_hash_lookup_grad_fwd, _hash_lookup_grad_bwd)
 
 
 class PermutoEncoder(nn.Module):
@@ -290,7 +410,7 @@ class PermutoEncoder(nn.Module):
         return d
 
     @nn.compact
-    def __call__(self, points, iter_nr=None):
+    def __call__(self, points, iter_nr=None, with_grads=False):
         assert points.shape[-1] == self.input_dim == 3
         T = 2**self.log2_hashmap_size
         L, F = self.nr_levels, self.nr_feat_per_level
@@ -302,6 +422,13 @@ class PermutoEncoder(nn.Module):
             (L, T, F),
         )
         unit, out_of_bounds = _rescale_to_unit(points, self.bb_sides)
+        if self.bb_sides is None:
+            dunit_dp = jnp.ones((3,), jnp.float32)
+        else:
+            half = jnp.broadcast_to(
+                jnp.asarray(self.bb_sides, jnp.float32) / 2.0, (3,)
+            )
+            dunit_dp = 1.0 / (2.0 * half)  # [3]
 
         if iter_nr is None:
             t = jnp.asarray(1.0)
@@ -359,11 +486,26 @@ class PermutoEncoder(nn.Module):
         # scatter (TPU scatters serialize; this is pure VPU work).
         diff = (elevated - rem0) / (d + 1)
         idx_b = d - rank  # [N, L, d+1] in [0, d]
-        bary_slots = []
+        # spatial derivative of diff is point-independent inside a simplex:
+        # ddiff[l, j, k] = E[j, k] / ((d+1) * scales_l) * dunit_dp_k
+        if with_grads:
+            ddiff = (
+                E[None, :, :] / (d + 1)
+                / scales[:, None, None]
+                * dunit_dp[None, None, :]
+            )  # [L, d+1, 3]
+        bary_slots, dbary_slots = [], []
         for slot in range(d + 2):
-            pos = jnp.sum(jnp.where(idx_b == slot, diff, 0.0), axis=-1)
-            neg = jnp.sum(jnp.where(idx_b + 1 == slot, diff, 0.0), axis=-1)
+            pos_m = idx_b == slot
+            neg_m = idx_b + 1 == slot
+            pos = jnp.sum(jnp.where(pos_m, diff, 0.0), axis=-1)
+            neg = jnp.sum(jnp.where(neg_m, diff, 0.0), axis=-1)
             bary_slots.append(pos - neg)
+            if with_grads:
+                m = (pos_m.astype(jnp.float32) - neg_m.astype(jnp.float32))
+                dbary_slots.append(
+                    jnp.einsum("nlj,ljk->nlk", m, ddiff)
+                )
         bary = jnp.stack(bary_slots, axis=-1)  # [N, L, d+2]
         bary = bary.at[..., 0].add(1.0 + bary[..., d + 1])
         bary = bary[..., : d + 1]  # [N, L, d+1] weights
@@ -376,15 +518,34 @@ class PermutoEncoder(nn.Module):
             key = (rem0 + add).astype(jnp.int32)[..., :d]  # drop last coord
             corner_idx.append(_hash_coords(key, T) + level_off)
         flat_idx = jnp.stack(corner_idx, axis=-1)  # [N, L, d+1] absolute rows
-        feats = _hash_lookup(table.reshape(L * T, F), flat_idx, bary)
+        flat_table = table.reshape(L * T, F)
 
+        if not with_grads:
+            feats = _hash_lookup(flat_table, flat_idx, bary)
+            feats = feats * window[None, :, None]
+            feats = feats.reshape(*batch_shape, L * F)
+            if self.concat_points:
+                feats = jnp.concatenate([feats, unit], axis=-1)
+            if self.remove_last_element:
+                feats = feats[..., :-1]
+            return feats, out_of_bounds
+
+        dbary = jnp.stack(dbary_slots, axis=-2)  # [N, L, d+2, 3]
+        dbary = dbary.at[..., 0, :].add(dbary[..., d + 1, :])
+        dbary = dbary[..., : d + 1, :]
+        feats, dfeats = _hash_lookup_grad(flat_table, flat_idx, bary, dbary)
         feats = feats * window[None, :, None]
+        dfeats = dfeats * window[None, :, None, None]
         feats = feats.reshape(*batch_shape, L * F)
+        dfeats = dfeats.reshape(*batch_shape, L * F, 3)
         if self.concat_points:
             feats = jnp.concatenate([feats, unit], axis=-1)
+            dunit = jnp.broadcast_to(jnp.diag(dunit_dp), batch_shape + (3, 3))
+            dfeats = jnp.concatenate([dfeats, dunit], axis=-2)
         if self.remove_last_element:
             feats = feats[..., :-1]
-        return feats, out_of_bounds
+            dfeats = dfeats[..., :-1, :]
+        return feats, dfeats, out_of_bounds
 
 
 def spher2cart(r, theta, phi):

@@ -83,17 +83,24 @@ def get_field_gradients_autodiff(field_fn, points):
     return grads.reshape(points.shape)
 
 
-def get_sdf_curvature(field_fn, points, sdf_gradients, key, eps: float = 1e-4):
+def get_sdf_curvature(field_fn, points, sdf_gradients, key, eps: float = 1e-4,
+                      grad_fn=None):
     """Curvature proxy: angle between the normal at a point and the normal at
     a point shifted along a random tangent direction, mapped to [0, 1]
     (reference volsurfs_py/utils/fields_utils.py:83-166).
-    """
+
+    grad_fn: optional points -> gradients override for the shifted normals
+    (the methods pass their analytic-jacobian path here, which cuts the
+    table-gradient scatter 4x vs the finite-difference default)."""
     normals = safe_normalize(sdf_gradients)
     rand_dirs = jax.random.normal(key, points.shape)
     rand_dirs = safe_normalize(rand_dirs)
     tangents = jnp.cross(normals, rand_dirs)
     shifted = points + tangents * eps
-    grads_shifted = get_field_gradients(field_fn, shifted, eps)
+    if grad_fn is not None:
+        grads_shifted = grad_fn(shifted)
+    else:
+        grads_shifted = get_field_gradients(field_fn, shifted, eps)
     normals_shifted = safe_normalize(grads_shifted)
     dot = jnp.sum(normals * normals_shifted, axis=-1, keepdims=True)
     angle = jnp.arccos(jnp.clip(dot, -1.0 + 1e-6, 1.0 - 1e-6))

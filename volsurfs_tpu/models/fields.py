@@ -29,7 +29,13 @@ class SDF(nn.Module):
     bb_sides: float = 2.0
 
     @nn.compact
-    def __call__(self, points, iter_nr=None):
+    def __call__(self, points, iter_nr=None, with_grads=False):
+        """-> (sdf, geom_feats), or with with_grads=True
+        (sdf, geom_feats, sdf_grad [..., 3]) where the spatial gradient is
+        computed analytically: the hash encoder returns its jacobian from
+        the same gathered corners and the MLP propagates it as tangents —
+        one encoder backward scatter instead of the reference's 4-point
+        finite difference (volsurfs_py/utils/fields_utils.py:6-80)."""
         enc = get_encoder(
             self.encoding_type,
             input_dim=3,
@@ -38,14 +44,22 @@ class SDF(nn.Module):
             multires=6,
             bb_sides=self.bb_sides,
         )
-        feats, _ = enc(points, iter_nr)
-        pred = MLP(
+        mlp = MLP(
             tuple(self.mlp_layers_dims) + (1 + self.geom_feat_size,),
             last_layer_linear=True,
-        )(feats)
+        )
+        if not with_grads:
+            feats, _ = enc(points, iter_nr)
+            pred = mlp(feats)
+            sdf = pred[..., 0:1]
+            geom_feats = pred[..., 1:] if self.geom_feat_size > 0 else None
+            return sdf, geom_feats
+        feats, dfeats, _ = enc(points, iter_nr, with_grads=True)
+        pred, dpred = mlp(feats, tangents=dfeats)
         sdf = pred[..., 0:1]
         geom_feats = pred[..., 1:] if self.geom_feat_size > 0 else None
-        return sdf, geom_feats
+        sdf_grad = dpred[..., 0, :]
+        return sdf, geom_feats, sdf_grad
 
 
 class OffsetsSDF(nn.Module):

@@ -30,15 +30,42 @@ class MLP(nn.Module):
     activation: str = "gelu"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, tangents=None):
+        """x [..., D] -> [..., layer_dims[-1]].
+
+        tangents [..., D, K]: optionally propagate K jacobian-vector products
+        alongside the primal (returns (y, dy [..., out, K])). The tangents
+        ride the SAME Dense submodules as extra batch rows (bias is cancelled
+        with a zero row), so the parameter tree is unchanged and the extra
+        cost is one wider matmul per layer — this is how spatial SDF
+        gradients chain through the MLP without re-evaluating the encoder
+        (see encodings._hash_lookup_grad)."""
         act = {"gelu": nn.gelu, "relu": nn.relu}[self.activation]
         n = len(self.layer_dims)
+        if tangents is None:
+            for i, dim in enumerate(self.layer_dims):
+                x = nn.Dense(dim, use_bias=self.use_bias, name=f"dense_{i}")(x)
+                is_last = i == n - 1
+                if not (is_last and self.last_layer_linear):
+                    x = act(x)
+            return x
+
+        t = jnp.moveaxis(tangents, -1, 0)  # [K, ..., D]
         for i, dim in enumerate(self.layer_dims):
-            x = nn.Dense(dim, use_bias=self.use_bias, name=f"dense_{i}")(x)
+            dense = nn.Dense(dim, use_bias=self.use_bias, name=f"dense_{i}")
+            stacked = jnp.concatenate(
+                [x[None], t, jnp.zeros_like(x)[None]], axis=0
+            )
+            out = dense(stacked)
+            z = out[0]
+            dz = out[1:-1] - out[-1][None]  # subtract the bias row
             is_last = i == n - 1
             if not (is_last and self.last_layer_linear):
-                x = act(x)
-        return x
+                x, act_deriv = jax.jvp(act, (z,), (jnp.ones_like(z),))
+                t = dz * act_deriv[None]
+            else:
+                x, t = z, dz
+        return x, jnp.moveaxis(t, 0, -1)
 
 
 class LipshitzMLP(nn.Module):

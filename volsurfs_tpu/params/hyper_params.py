@@ -109,6 +109,12 @@ class HyperParamsSuRF(HyperParams):
     )
     sdf_mlp_output_dims: int = 1
     sdf_encoding_type: str = "permutohash"
+    # "autodiff": analytic encoder-jacobian gradients (TPU-native default —
+    # one fused table-gradient scatter instead of differentiating 4 stacked
+    # evaluations; exact, not finite-difference).
+    # "finite_diff": the reference's 4-point forward difference
+    # (volsurfs_py/utils/fields_utils.py:6-80), kept for exact parity runs.
+    sdf_grads_mode: str = "autodiff"
     init_phase_end_iter: int = 4000
     sdf_nr_iters_for_c2f: int = 10000
     first_phase_variance_start_value: float = 0.3
