@@ -109,8 +109,13 @@ def main():
     assert float(np.isfinite(img).mean()) == 1.0
 
     cams = [cam(i) for i in range(nr_frames)]
-    # compile the batched executable, verify no candidate-list overflow
-    imgs, ovf = renderer.render_frames_device(cams)
+    # block-compaction budget for this orbit (binning-only pre-pass)
+    nr_blocks = renderer.suggest_nr_blocks(cams)
+    # compile the batched executable, verify no candidate/block overflow
+    imgs, ovf = renderer.render_frames_device(cams, nr_blocks=nr_blocks)
+    if int(ovf) != 0:  # margin too tight — fall back to the full frame
+        nr_blocks = 0
+        imgs, ovf = renderer.render_frames_device(cams, nr_blocks=0)
     assert int(ovf) == 0
     assert np.isfinite(np.asarray(imgs[-1])).all()
 
@@ -118,7 +123,7 @@ def main():
     # swapchain analogue — per-frame host dispatch through the tunnel is
     # pure overhead, not device work); sync once via an on-device scalar
     t0 = time.perf_counter()
-    imgs, _ = renderer.render_frames_device(cams)
+    imgs, _ = renderer.render_frames_device(cams, nr_blocks=nr_blocks)
     acc = float(imgs.mean())  # forces completion of every frame
     dt = time.perf_counter() - t0
     assert np.isfinite(acc)

@@ -241,3 +241,23 @@ def test_overflow_flag_fires_when_budget_too_small(baked_scene):
         mesh.verts, mesh.faces, intr, w2c, 16, 16, 4
     )
     assert bool(np.asarray(ovf).any())
+
+
+def test_block_compaction_matches_full_frame(baked_scene):
+    """nr_blocks compaction: identical image when the budget covers every
+    candidate block, overflow flag when it does not."""
+    from volsurfs_tpu.renderers.mesh_renderer import BakedMeshRenderer
+
+    r = BakedMeshRenderer(baked_scene, bg_color="white")
+    cam = OrbitCamera(256, 256, radius=2.0).camera()  # 8x4 = 32 blocks
+    img_full, ovf_full = r.render_frame_device(cam)
+    img_cmp, ovf_cmp = r.render_frame_device(cam, nr_blocks=28)
+    assert int(ovf_full) == 0 and int(ovf_cmp) == 0
+    np.testing.assert_array_equal(np.asarray(img_full), np.asarray(img_cmp))
+
+    # starve the block budget: overflow must fire, and render_frame must
+    # still return the exact frame via its fallback retry
+    _, ovf_small = r.render_frame_device(cam, nr_blocks=1)
+    assert int(ovf_small) > 0
+    img_retry = r.render_frame(cam, nr_blocks=1)
+    np.testing.assert_array_equal(np.asarray(img_full), img_retry)

@@ -165,11 +165,17 @@ class BakedMeshRenderer:
         self._render_jit = jax.jit(self._render_rays)
         self._render_frame_jit = jax.jit(
             self._render_frame_tiles,
-            static_argnames=("width", "height", "nr_cand", "use_cull"),
+            static_argnames=("width", "height", "nr_cand", "use_cull",
+                             "nr_blocks"),
         )
         self._render_frames_jit = jax.jit(
             self._render_frames_scan,
-            static_argnames=("width", "height", "nr_cand", "use_cull"),
+            static_argnames=("width", "height", "nr_cand", "use_cull",
+                             "nr_blocks"),
+        )
+        self._count_blocks_jit = jax.jit(
+            self._count_blocks_scan,
+            static_argnames=("width", "height", "use_cull"),
         )
 
     # ---- core ----------------------------------------------------------------
@@ -273,37 +279,76 @@ class BakedMeshRenderer:
     _BLOCK_W = 64
 
     def _render_frame_tiles(self, scene, intrinsics, c2w, w2c, *, width,
-                            height, nr_cand, use_cull=False):
+                            height, nr_cand, use_cull=False, nr_blocks=0):
         """One whole frame via the tile-binned rasterizer (renderers/raster.py):
-        dense per-tile candidate loops instead of per-ray BVH pointer chasing."""
+        dense per-tile candidate loops instead of per-ray BVH pointer chasing.
+
+        nr_blocks > 0 enables block compaction: only the `nr_blocks` screen
+        blocks that have at least one candidate triangle (union over meshes)
+        go through ray-triangle testing, texture filtering, SH shading and
+        compositing — the rest of the frame is pure background. Blocks with
+        candidates beyond the budget count into `overflow` (the caller
+        retries with a bigger budget, like candidate-list overflow)."""
         bh, bw = self._BLOCK_H, self._BLOCK_W
         dirs, origin = raster.tile_rays(
             intrinsics, c2w, width, height, tile_h=bh, tile_w=bw
         )
-        uv_list, hit_list = [], []
         overflow = jnp.zeros((), jnp.int32)
+        cand_list = []
         for i, mesh in enumerate(scene["meshes"]):
-            tables = scene["raster_tables"][i]
             cand, ovf = raster.bin_triangles(
                 mesh.verts, mesh.faces, intrinsics, w2c, width, height,
                 nr_cand, tile_h=bh, tile_w=bw,
                 cull_sign=self._cull_signs[i] if use_cull else 0,
             )
             overflow = overflow + jnp.sum(ovf)
-            is_hit, t, u, v, f = raster.raster_mesh(tables, cand, dirs, origin)
+            cand_list.append(cand)
+
+        T = cand_list[0].shape[0]
+        compact = 0 < nr_blocks < T
+        if compact:
+            # blocks worth shading: any mesh has any candidate triangle there
+            has = cand_list[0][:, 0] >= 0
+            for cand in cand_list[1:]:
+                has = has | (cand[:, 0] >= 0)
+            iota = jnp.arange(T, dtype=jnp.int32)
+            topv, _ = jax.lax.top_k(jnp.where(has, T - iota, 0), nr_blocks)
+            blk_valid = topv > 0
+            # ascending valid block ids; invalid slots park at row T which is
+            # sliced off after the scatter
+            blk = jnp.where(blk_valid, T - topv, T)
+            overflow = overflow + (jnp.sum(has) > nr_blocks).astype(jnp.int32)
+            safe_blk = jnp.minimum(blk, T - 1)
+            dirs = tuple(d[safe_blk] for d in dirs)
+            cand_list = [
+                jnp.where(blk_valid[:, None], cand[safe_blk], -1)
+                for cand in cand_list
+            ]
+
+        uv_list, hit_list = [], []
+        for i in range(len(scene["meshes"])):
+            tables = scene["raster_tables"][i]
+            is_hit, t, u, v, f = raster.raster_mesh(
+                tables, cand_list[i], dirs, origin
+            )
             uv = raster.interp_uv(tables, f, u, v)
             uv_list.append(uv.reshape(-1, 2))
             hit_list.append(is_hit.reshape(-1))
         dirs_flat = jnp.stack([d.reshape(-1) for d in dirs], axis=-1)
         out = self._shade(scene, uv_list, hit_list, dirs_flat)
         rgb_tiles = out["rgb"].reshape(dirs[0].shape[0], bh * bw, 3)
+        if compact:
+            full = jnp.broadcast_to(
+                self.bg_color.astype(rgb_tiles.dtype), (T + 1, bh * bw, 3)
+            )
+            rgb_tiles = full.at[blk].set(rgb_tiles, indices_are_sorted=True)[:T]
         return (
             raster.tiles_to_image(rgb_tiles, width, height, tile_h=bh, tile_w=bw),
             overflow,
         )
 
     def _render_frames_scan(self, scene, intr_b, c2w_b, w2c_b, *, width,
-                            height, nr_cand, use_cull=False):
+                            height, nr_cand, use_cull=False, nr_blocks=0):
         """lax.scan over a batch of cameras: renders B frames in ONE
         executable so per-frame host dispatch (expensive through remote
         tunnels, and pure overhead for a swapchain workload) is paid once."""
@@ -312,19 +357,63 @@ class BakedMeshRenderer:
             intr, c2w, w2c = cams
             img, ovf = self._render_frame_tiles(
                 scene, intr, c2w, w2c, width=width, height=height,
-                nr_cand=nr_cand, use_cull=use_cull,
+                nr_cand=nr_cand, use_cull=use_cull, nr_blocks=nr_blocks,
             )
             return None, (img, ovf)
 
         _, (imgs, ovfs) = jax.lax.scan(step, None, (intr_b, c2w_b, w2c_b))
         return imgs, jnp.sum(ovfs)
 
+    def _count_blocks_scan(self, scene, intr_b, c2w_b, w2c_b, *, width,
+                           height, use_cull=False):
+        """Max number of screen blocks with >= 1 candidate triangle over a
+        camera batch (binning only — cheap, no shading)."""
+
+        def one(_, cams):
+            intr, c2w, w2c = cams
+            has = None
+            for i, mesh in enumerate(scene["meshes"]):
+                cand, _ = raster.bin_triangles(
+                    mesh.verts, mesh.faces, intr, w2c, width, height, 1,
+                    tile_h=self._BLOCK_H, tile_w=self._BLOCK_W,
+                    cull_sign=self._cull_signs[i] if use_cull else 0,
+                )
+                h = cand[:, 0] >= 0
+                has = h if has is None else has | h
+            return None, jnp.sum(has)
+
+        _, counts = jax.lax.scan(one, None, (intr_b, c2w_b, w2c_b))
+        return jnp.max(counts)
+
     # ---- public --------------------------------------------------------------
+
+    def suggest_nr_blocks(self, cameras, margin: int = 8) -> int:
+        """Block-compaction budget for `render_frames_device` on this camera
+        set: the max per-frame count of candidate blocks plus a margin,
+        rounded up to a multiple of 8 (0 if compaction would not help)."""
+        w, h = cameras[0].width, cameras[0].height
+        poses = np.stack([c.pose for c in cameras])
+        intr_b = jnp.asarray(np.stack([c.intrinsics for c in cameras]),
+                             jnp.float32)
+        c2w_b = jnp.asarray(poses, jnp.float32)
+        w2c_b = jnp.asarray(
+            np.stack([np.linalg.inv(c.pose) for c in cameras]), jnp.float32
+        )
+        count = int(self._count_blocks_jit(
+            self._scene, intr_b, c2w_b, w2c_b, width=w, height=h,
+            use_cull=self._cameras_outside(poses),
+        ))
+        total = (raster._pad_to(w, self._BLOCK_W) // self._BLOCK_W) * (
+            raster._pad_to(h, self._BLOCK_H) // self._BLOCK_H
+        )
+        budget = (count + margin + 7) // 8 * 8
+        return budget if budget < total else 0
 
     def render_rays(self, rays_o, rays_d):
         return self._render_jit(self._scene, rays_o, rays_d)
 
-    def render_frame_device(self, camera, nr_cand: int = 256):
+    def render_frame_device(self, camera, nr_cand: int = 256,
+                            nr_blocks: int = 0):
         """Rasterized frame as DEVICE arrays (img [H, W, 3] f32, overflow
         scalar) — no host sync, so frames can be pipelined back to back."""
         intr = jnp.asarray(camera.intrinsics, jnp.float32)
@@ -334,6 +423,7 @@ class BakedMeshRenderer:
             self._scene, intr, c2w, w2c,
             width=camera.width, height=camera.height, nr_cand=nr_cand,
             use_cull=self._cameras_outside(camera.pose),
+            nr_blocks=nr_blocks,
         )
 
     def _cameras_outside(self, poses):
@@ -347,7 +437,8 @@ class BakedMeshRenderer:
         )
         return not bool(inside.any())
 
-    def render_frames_device(self, cameras, nr_cand: int = 256):
+    def render_frames_device(self, cameras, nr_cand: int = 256,
+                             nr_blocks: int = 0):
         """Batched frame render: all cameras drawn inside one executable
         (lax.scan). Returns (imgs [B, H, W, 3] f32 DEVICE array, overflow
         scalar) without host sync — the real-time path for frame sequences."""
@@ -364,19 +455,24 @@ class BakedMeshRenderer:
         return self._render_frames_jit(
             self._scene, intr_b, c2w_b, w2c_b, width=w, height=h,
             nr_cand=nr_cand, use_cull=self._cameras_outside(poses),
+            nr_blocks=nr_blocks,
         )
 
-    def render_frame(self, camera, nr_cand: int = 256):
+    def render_frame(self, camera, nr_cand: int = 256, nr_blocks: int = 0):
         """Full frame via rasterization — the fast path for camera frames
         (the reference's real-time usage). Returns [H, W, 3] float numpy.
-        Retries with a larger candidate budget if any block overflowed (a
-        drop would otherwise leave holes). Backfaces are culled whenever the
-        camera is outside every shell (never changes the closest hit there)."""
+        Retries with larger candidate/block budgets if anything overflowed
+        (a drop would otherwise leave holes). Backfaces are culled whenever
+        the camera is outside every shell (never changes the closest hit
+        there)."""
         while True:
-            img, overflow = self.render_frame_device(camera, nr_cand)
-            if int(overflow) == 0 or nr_cand >= 8192:
+            img, overflow = self.render_frame_device(camera, nr_cand, nr_blocks)
+            if int(overflow) == 0 or (nr_cand >= 8192 and nr_blocks == 0):
                 return np.asarray(img)
-            nr_cand *= 2
+            if nr_blocks > 0:
+                nr_blocks = 0  # fall back to the uncompacted frame
+            else:
+                nr_cand *= 2
 
     def render(self, camera, chunk_size: int = 65536):
         """Full frame, chunked (reference base_renderer.py:11-101)."""
