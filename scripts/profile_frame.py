@@ -3,6 +3,10 @@
 Each stage is wrapped so its output collapses to a scalar ON DEVICE before
 readback (jax.block_until_ready does not reliably block through the axon
 tunnel, and full-tensor readbacks would dominate; see RESULTS.md).
+
+Profiles the CURRENT render path: 32x64-px block binning, block
+compaction (renderers/mesh_renderer.py), candidate scan, footprint-table
+texture filtering, SH shade + composite.
 """
 
 from __future__ import annotations
@@ -60,75 +64,89 @@ def main():
     intrj = jnp.asarray(cam.intrinsics, jnp.float32)
 
     scene = r._scene
-    nr_cand = 96
+    nr_cand = 256
+    nr_blocks = int(sys.argv[1]) if len(sys.argv) > 1 else 80
+    bh, bw = r._BLOCK_H, r._BLOCK_W
 
     def stage_bin(intrinsics, w2c):
         return [
-            raster.bin_triangles(m.verts, m.faces, intrinsics, w2c, W, H, nr_cand)
-            for m in scene["meshes"]
-        ]
-
-    def stage_bin2(intrinsics, w2c):
-        return [
-            raster.bin_triangles_2level(
-                m.verts, m.faces, intrinsics, w2c, W, H, nr_cand
+            raster.bin_triangles(
+                m.verts, m.faces, intrinsics, w2c, W, H, nr_cand,
+                tile_h=bh, tile_w=bw, cull_sign=r._cull_signs[i],
             )
-            for m in scene["meshes"]
+            for i, m in enumerate(r.meshes)
         ]
 
     t = timed_scalar(stage_bin, intrj, w2c)
-    print(f"binning 1-level (5 meshes): {t*1e3:.1f} ms")
-    t = timed_scalar(stage_bin2, intrj, w2c)
-    print(f"binning 2-level (5 meshes): {t*1e3:.1f} ms")
+    print(f"binning 32x64 blocks (5 meshes, K={nr_cand}): {t*1e3:.1f} ms")
 
-    # correctness crosscheck of 2-level binning (sorted candidate sets match)
     cands = jax.jit(stage_bin)(intrj, w2c)
-    cands2 = jax.jit(stage_bin2)(intrj, w2c)
-    for (c1, o1), (c2, o2) in zip(cands, cands2):
-        a1 = np.sort(np.asarray(c1), axis=-1)
-        a2 = np.sort(np.asarray(c2), axis=-1)
-        print(
-            f"  mesh: ovf={int(np.asarray(o1).sum())}/{int(np.asarray(o2).sum())}"
-            f" cand equal={bool((a1 == a2).all())}"
-        )
+    cand_list = [c for c, _ in cands]
 
-    def stage_scan(intrinsics, c2w, cands):
-        dirs, origin = raster.tile_rays(intrinsics, c2w, W, H)
+    def stage_select(cand_list):
+        T = cand_list[0].shape[0]
+        has = cand_list[0][:, 0] >= 0
+        for cand in cand_list[1:]:
+            has = has | (cand[:, 0] >= 0)
+        iota = jnp.arange(T, dtype=jnp.int32)
+        topv, _ = jax.lax.top_k(jnp.where(has, T - iota, 0), nr_blocks)
+        blk = jnp.where(topv > 0, T - topv, T)
+        safe = jnp.minimum(blk, T - 1)
+        return blk, [
+            jnp.where((topv > 0)[:, None], c[safe], -1) for c in cand_list
+        ]
+
+    t = timed_scalar(stage_select, cand_list)
+    print(f"block select + gather (B={nr_blocks}): {t*1e3:.1f} ms")
+
+    blk, cand_c = jax.jit(stage_select)(cand_list)
+    n_used = int((np.asarray(blk) < cand_list[0].shape[0]).sum())
+    print(f"  blocks with candidates: {n_used}/{cand_list[0].shape[0]}")
+
+    dirs_full, origin = raster.tile_rays(intrj, c2w, W, H, tile_h=bh, tile_w=bw)
+    safe_blk = jnp.minimum(blk, cand_list[0].shape[0] - 1)
+    dirs_c = tuple(d[safe_blk] for d in dirs_full)
+
+    def stage_scan(cand_c, dirs_c):
         outs = []
-        for i in range(len(scene["meshes"])):
+        for i in range(len(r.meshes)):
             tables = scene["raster_tables"][i]
-            is_hit, tt, u, v, f = raster.raster_mesh(tables, cands[i][0], dirs, origin)
+            is_hit, tt, u, v, f = raster.raster_mesh(
+                tables, cand_c[i], dirs_c, origin
+            )
             uv = raster.interp_uv(tables, f, u, v)
             outs.append((is_hit, uv))
         return outs
 
-    t = timed_scalar(stage_scan, intrj, c2w, cands)
-    print(f"raster scan + uv (5 meshes, K={nr_cand}): {t*1e3:.1f} ms")
+    t = timed_scalar(stage_scan, cand_c, dirs_c)
+    print(f"raster scan + uv (5 meshes, compacted): {t*1e3:.1f} ms")
 
-    hits = jax.jit(stage_scan)(intrj, c2w, cands)
-    print("  hit fractions:", [f"{float(np.asarray(h[0]).mean()):.2f}" for h in hits])
+    hits = jax.jit(stage_scan)(cand_c, dirs_c)
+    print("  hit fractions:",
+          [f"{float(np.asarray(h[0]).mean()):.2f}" for h in hits])
 
     uv_list = [h[1].reshape(-1, 2) for h in hits]
     hit_list = [h[0].reshape(-1) for h in hits]
-    dirs, _ = raster.tile_rays(intrj, c2w, W, H)
-    dirs_flat = jnp.stack([d.reshape(-1) for d in dirs], axis=-1)
+    dirs_flat = jnp.stack([d.reshape(-1) for d in dirs_c], axis=-1)
 
     t = timed_scalar(lambda s, u, h, d: r._shade(s, u, h, d),
                      scene, uv_list, hit_list, dirs_flat)
-    print(f"shade (texture+SH+composite): {t*1e3:.1f} ms")
+    print(f"shade (texture+SH+composite, compacted): {t*1e3:.1f} ms")
 
     uv_all = jnp.stack(uv_list)
     t = timed_scalar(lambda s, u: r._sample_bands_fused(s, u), scene, uv_all)
     print(f"  texture filtering alone: {t*1e3:.1f} ms")
 
-    t = timed_scalar(
-        lambda s, i_, c_, w_: r._render_frame_tiles(
-            s, i_, c_, w_, width=W, height=H, nr_cand=nr_cand
-        ),
-        scene, intrj, c2w, w2c,
-    )
-    mrays = W * H / t / 1e6
-    print(f"full frame: {t*1e3:.1f} ms  ({mrays:.2f} Mrays/s)")
+    for nb in (0, nr_blocks):
+        t = timed_scalar(
+            lambda s, i_, c_, w_: r._render_frame_tiles(
+                s, i_, c_, w_, width=W, height=H, nr_cand=nr_cand,
+                use_cull=True, nr_blocks=nb,
+            ),
+            scene, intrj, c2w, w2c,
+        )
+        mrays = W * H / t / 1e6
+        print(f"full frame nb={nb}: {t*1e3:.1f} ms  ({mrays:.2f} Mrays/s)")
 
 
 if __name__ == "__main__":

@@ -51,6 +51,54 @@ def make_footprint_table(tex_u8):
     return out.reshape(H * W, -1)
 
 
+def choose_block_edge(h: int, w: int, max_rows: int = 2**18) -> int:
+    """Smallest power-of-two texel block whose table has <= max_rows rows
+    (and that divides the texture)."""
+    b = 1
+    while (h // b) * (w // b) > max_rows and h % (2 * b) == 0 and w % (2 * b) == 0:
+        b *= 2
+    return b
+
+
+def make_band_table(tex_u8, block: int):
+    """[H, W, 4, Cc] uint8 band -> block-packed gather table.
+
+    Row B = (By, Bx) covers band texels [block*By, block*By+block) x
+    [block*Bx, ...) and stores the (block+1)^2 texel region that bilinear
+    filtering at any sample point landing in the block can touch (edge
+    texels clamp-duplicate).  Layout is CHANNEL-PLANAR — row column
+    c*(block+1)^2 + ry*(block+1) + rx — so the sampler's per-pixel
+    footprint reduction runs on [N, C*(b+1)^2] 2-D shapes and one small
+    matmul, never on tiny-trailing-dim tensors (those waste ~97% of VPU
+    lanes; measured 4.5 vs 6.1 Mrays/s end to end).
+
+    Why blocks at all: TPU random-row gather throughput peaks near
+    ~128-byte rows on <= 2^18-row tables (~550M rows/s) and collapses both
+    for multi-M-row tables (~67M) and for wide rows (~50M at 724B) —
+    scripts/bench_gather.py + the width/locality probes in RESULTS.md. The
+    block edge per band is chosen to land in that regime: 2048^2 RGBA ->
+    block 4 (262k rows, 100B), 1024^2 -> 2 (262k, 108B), smaller bands ->
+    1 (plain 2x2 footprint rows).
+
+    Returns (table [(H/b)*(W/b), C*(b+1)^2] uint8).
+    """
+    H, W = tex_u8.shape[:2]
+    assert H % block == 0 and W % block == 0
+    C = tex_u8.shape[2] * tex_u8.shape[3]
+    flat = np.ascontiguousarray(tex_u8, np.uint8).reshape(H, W, C)
+    nBy, nBx = H // block, W // block
+    s = block + 1
+    yy = np.clip(
+        np.arange(nBy)[:, None] * block + np.arange(s)[None, :], 0, H - 1
+    )
+    xx = np.clip(
+        np.arange(nBx)[:, None] * block + np.arange(s)[None, :], 0, W - 1
+    )
+    reg = flat[yy[:, None, :, None], xx[None, :, None, :]]  # [nBy,nBx,s,s,C]
+    reg = np.moveaxis(reg, -1, 2)  # [nBy, nBx, C, s, s]
+    return reg.reshape(nBy * nBx, C * s * s)
+
+
 class BakedMeshRenderer:
     """Renders a baked scene directory (scene.json + meshes/ + textures/)."""
 
@@ -69,8 +117,7 @@ class BakedMeshRenderer:
         self.bg_color = jnp.ones(3) if bg == "white" else jnp.zeros(3)
 
         self.meshes = []
-        self.bvhs = []
-        self.textures = []  # per mesh: list per deg of ([H,W,4] arrays per feat)
+        self.textures_u8 = []  # per mesh: list per deg of [H, W, 4, C] uint8
         self.tex_scales = []
         self.ignore_alpha = []
         for mesh_info in self.scene["meshes"]:
@@ -78,7 +125,6 @@ class BakedMeshRenderer:
                 os.path.join(scene_dir, mesh_info["mesh_path"])
             )
             self.meshes.append(B.make_tensor_mesh(v, f, uv))
-            self.bvhs.append(B.build_bvh(v, f))
             self.ignore_alpha.append(bool(mesh_info.get("ignore_alpha", False)))
 
             # group texture features by band: deg d has DEG_NR_COEFFS[d] pngs
@@ -91,60 +137,65 @@ class BakedMeshRenderer:
                 for _ in range(DEG_NR_COEFFS[deg]):
                     info = next(infos)
                     img = Image.open(os.path.join(scene_dir, info["texture_path"]))
-                    arr = np.asarray(img, np.float32) / 255.0  # [H, W, 4]
-                    arr = np.flipud(arr).copy()  # undo the export flip
+                    # keep raw PNG uint8 end to end (the device tables are
+                    # uint8; fp16/f32 copies are derived lazily for tests)
+                    arr = np.flipud(np.asarray(img, np.uint8)).copy()
                     feats.append(arr)
                     scale = info["texture_scale"]
-                tex = np.stack(feats, axis=-1)  # [H, W, 4, C]
-                while max_texture_res and tex.shape[0] > max_texture_res:
-                    h2, w2 = tex.shape[0] // 2, tex.shape[1] // 2
-                    tex = tex.reshape(h2, 2, w2, 2, *tex.shape[2:]).mean((1, 3))
-                # host-side fp16 copy (tests / introspection); the device
-                # tables are the uint8 footprint tables built below
-                per_deg.append(np.asarray(tex, np.float16))
+                tex = np.stack(feats, axis=-1)  # [H, W, 4, C] uint8
+                if max_texture_res and tex.shape[0] > max_texture_res:
+                    texf = tex.astype(np.float32)
+                    while texf.shape[0] > max_texture_res:
+                        h2, w2 = texf.shape[0] // 2, texf.shape[1] // 2
+                        texf = texf.reshape(
+                            h2, 2, w2, 2, *texf.shape[2:]
+                        ).mean((1, 3))
+                    tex = np.clip(np.rint(texf), 0, 255).astype(np.uint8)
+                per_deg.append(tex)
                 scales.append(scale)
-            self.textures.append(per_deg)
+            self.textures_u8.append(per_deg)
             self.tex_scales.append(scales)
 
-        self.stacked_bvh = B.stack_bvhs(self.bvhs)
+        # BVHs are only needed by the per-ray path (render_rays); the raster
+        # frame path never touches them, so they build lazily on first use.
+        self._bvhs = None
+        self._stacked_bvh = None
+        self._textures_f16 = None
         # Scene arrays are passed to the jitted render as ARGUMENTS, never
         # captured by closure: closed-over jnp arrays become compile-time
         # constants embedded in the HLO, which bloats the executable (and
         # overflows remote-compile transports) for multi-hundred-MB texture
         # pyramids. As runtime inputs they live in HBM once and the
         # executable stays small.
-        # Footprint-replicated per-(mesh, band) tables [H*W, 16C] uint8: row
-        # (y, x) stores the full 2x2 bilinear footprint (x,y), (x+1,y),
-        # (x,y+1), (x+1,y+1) with clamped edges, so filtering needs ONE
-        # gathered row per pixel instead of four. Measured on v5e
-        # (scripts/bench_gather.py): gather time scales with rows gathered
-        # AND total table bytes, so the 2x2 replication is paid for by uint8
-        # storage (raw PNG values; /255 folds into the lo/hi affine) —
-        # net table bytes are 2x the fp16 originals while every pixel needs
-        # 4x fewer gathered rows. Tables stay per-mesh — merging meshes into
-        # one 5x bigger table measures ~60% slower.
+        # Block-packed per-(mesh, band) tables (make_band_table): one
+        # gathered uint8 row per (pixel, mesh, band) carries the whole
+        # bilinear footprint, with the block edge per band tuned to the
+        # fast-gather regime (<= 2^18 rows, ~100B rows). Tables stay
+        # per-mesh — merging meshes into one 5x bigger table measures ~60%
+        # slower, and merging bands into one mega-row makes rows too wide
+        # (49M rows/s at 724B vs ~550M at ~100B).
         self.nr_meshes = len(self.meshes)
-        self.band_tex = [
-            [
-                jnp.asarray(
-                    make_footprint_table(
-                        np.clip(
-                            np.rint(
-                                np.asarray(self.textures[m][deg], np.float32)
-                                * 255.0
-                            ),
-                            0, 255,
-                        ).astype(np.uint8)
-                    )
+        self.pack_tex = []  # per mesh: list per band of [rows, C*(b+1)^2]
+        self.pack_meta = []  # per mesh: list per band of dicts
+        for m in range(self.nr_meshes):
+            tabs, metas = [], []
+            for deg in range(self.sh_degree + 1):
+                tex = self.textures_u8[m][deg]
+                block = choose_block_edge(tex.shape[0], tex.shape[1])
+                tabs.append(jnp.asarray(make_band_table(tex, block)))
+                metas.append(
+                    {
+                        "res": tex.shape[:2],
+                        "block": block,
+                        "channels": tex.shape[2] * tex.shape[3],
+                    }
                 )
-                for m in range(self.nr_meshes)
-            ]
-            for deg in range(self.sh_degree + 1)
-        ]
-        self._scene = {
-            "stacked_bvh": self.stacked_bvh,
+            self.pack_tex.append(tabs)
+            self.pack_meta.append(metas)
+        # raster-path scene (no BVH: frames never trace)
+        self._scene_fast = {
             "meshes": self.meshes,
-            "band_tex": self.band_tex,
+            "pack_tex": self.pack_tex,
             "raster_tables": [
                 raster.mesh_raster_tables(m.verts, m.faces, m.uvs)
                 for m in self.meshes
@@ -178,48 +229,117 @@ class BakedMeshRenderer:
             static_argnames=("width", "height", "use_cull"),
         )
 
+    # ---- lazy pieces ---------------------------------------------------------
+
+    @property
+    def bvhs(self):
+        if self._bvhs is None:
+            self._bvhs = [
+                B.build_bvh(np.asarray(m.verts), np.asarray(m.faces))
+                for m in self.meshes
+            ]
+        return self._bvhs
+
+    @property
+    def stacked_bvh(self):
+        if self._stacked_bvh is None:
+            self._stacked_bvh = B.stack_bvhs(self.bvhs)
+        return self._stacked_bvh
+
+    @property
+    def _scene(self):
+        """Full scene incl. the BVH (per-ray path); builds the BVH on first
+        use — raster frames never pay for it."""
+        d = dict(self._scene_fast)
+        d["stacked_bvh"] = self.stacked_bvh
+        return d
+
+    @property
+    def textures(self):
+        """Per mesh, per band [H, W, 4, C] float16 copies of the textures
+        (tests / introspection; the device tables are uint8)."""
+        if self._textures_f16 is None:
+            self._textures_f16 = [
+                [
+                    (t.astype(np.float32) / 255.0).astype(np.float16)
+                    for t in per_deg
+                ]
+                for per_deg in self.textures_u8
+            ]
+        return self._textures_f16
+
     # ---- core ----------------------------------------------------------------
 
     def _sample_bands_fused(self, scene, uv_all):
-        """Bilinear SH-coefficient sampling from the footprint tables: ONE
-        gathered row per (pixel, mesh, band) carries all 4 corners.
+        """Bilinear SH-coefficient sampling from the block-packed band
+        tables: ONE gathered row per (pixel, mesh, band) carries the whole
+        footprint (make_band_table), and the per-pixel footprint reduction
+        is lane-dense 2-D math + one small matmul.
         uv_all [M, N, 2] -> [M, N, 4, total_coeffs]."""
         M, N, _ = uv_all.shape
+        one = jnp.float16(1.0)
         per_mesh = []
         for m in range(M):
+            u = uv_all[m, :, 0]
+            v = uv_all[m, :, 1]
             bands = []
-            for deg in range(self.sh_degree + 1):
-                table = scene["band_tex"][deg][m]  # [H*W, 16C]
-                C4 = table.shape[1] // 4
-                H = W = int(np.sqrt(table.shape[0]))
-                x = uv_all[m, :, 0] * W - 0.5
-                y = (1.0 - uv_all[m, :, 1]) * H - 0.5
+            for deg, mb in enumerate(self.pack_meta[m]):
+                table = scene["pack_tex"][m][deg]
+                Hd, Wd = mb["res"]
+                b = mb["block"]
+                C = mb["channels"]
+                s = b + 1
+
+                x = u * Wd - 0.5
+                y = (1.0 - v) * Hd - 0.5
                 x0 = jnp.floor(x)
                 y0 = jnp.floor(y)
-                # negative-side clamp: both corners collapse onto texel 0, so
-                # move all weight to the stored left corner (exact equivalent
-                # of clamping each corner index separately); the positive side
-                # is exact already because footprint rows duplicate edge
-                # texels.
-                fx = jnp.where(x0 < 0, 0.0, x - x0).astype(jnp.float16)[:, None]
-                fy = jnp.where(y0 < 0, 0.0, y - y0).astype(jnp.float16)[:, None]
-                xi = jnp.clip(x0, 0, W - 1).astype(jnp.int32)
-                yi = jnp.clip(y0, 0, H - 1).astype(jnp.int32)
-                # one uint8 row = all 4 corners; integer texel values are
-                # exact in fp16 (<= 255), the /255 dequant folds into the
-                # lo/hi affine below
-                g = table[yi * W + xi].reshape(N, 4, C4).astype(jnp.float16)
-                sampled = (
-                    g[:, 0] * (1 - fx) * (1 - fy)
-                    + g[:, 1] * fx * (1 - fy)
-                    + g[:, 2] * (1 - fx) * fy
-                    + g[:, 3] * fx * fy
+                # negative-side clamp: both corners collapse onto texel 0,
+                # so move all weight to the left corner (exact equivalent of
+                # clamping each corner index separately); the positive side
+                # is exact because regions store clamped edge duplicates.
+                fx = jnp.where(x0 < 0, 0.0, x - x0).astype(jnp.float16)
+                fy = jnp.where(y0 < 0, 0.0, y - y0).astype(jnp.float16)
+                x0c = jnp.clip(x0, 0, Wd - 1).astype(jnp.int32)
+                y0c = jnp.clip(y0, 0, Hd - 1).astype(jnp.int32)
+                Bx = x0c // b
+                By = y0c // b
+                rows = table[By * (Wd // b) + Bx]  # [N, C*s*s] uint8
+                lx = x0c - Bx * b  # in [0, b-1]; corners lx, lx+1 <= b
+                ly = y0c - By * b
+
+                # per-column footprint weights, [N]-shaped fp16 throughout
+                # (w_rx = (1-fx) at rx==lx, fx at rx==lx+1, else 0)
+                wx = [
+                    jnp.where(lx == rx, one - fx, 0.0)
+                    + jnp.where(lx == rx - 1, fx, 0.0)
+                    for rx in range(s)
+                ]
+                wy = [
+                    jnp.where(ly == ry, one - fy, 0.0)
+                    + jnp.where(ly == ry - 1, fy, 0.0)
+                    for ry in range(s)
+                ]
+                w = jnp.stack(
+                    [wy[ry] * wx[rx] for ry in range(s) for rx in range(s)],
+                    axis=-1,
+                )  # [N, s*s]
+                wtile = jnp.concatenate([w] * C, axis=-1)  # [N, C*s*s]
+                prod = rows.astype(jnp.float16) * wtile
+                # sum each channel's s*s group: one-hot matmul keeps the
+                # reduction on the MXU (f32 accumulate) instead of a
+                # tiny-trailing-dim reduce
+                M_red = jnp.asarray(
+                    np.kron(np.eye(C, dtype=np.float16), np.ones((s * s, 1), np.float16))
                 )
+                sampled = jnp.dot(
+                    prod, M_red, preferred_element_type=jnp.float32
+                ).astype(jnp.float16)  # [N, C]
                 lo, hi = self.tex_scales[m][deg]
                 sampled = jnp.asarray(lo, jnp.float16) + (
                     jnp.asarray((hi - lo) / 255.0, jnp.float16) * sampled
                 )
-                bands.append(sampled.reshape(N, 4, C4 // 4))
+                bands.append(sampled.reshape(N, 4, C // 4))
             per_mesh.append(jnp.concatenate(bands, axis=-1))
         return jnp.stack(per_mesh)
 
@@ -400,7 +520,7 @@ class BakedMeshRenderer:
             np.stack([np.linalg.inv(c.pose) for c in cameras]), jnp.float32
         )
         count = int(self._count_blocks_jit(
-            self._scene, intr_b, c2w_b, w2c_b, width=w, height=h,
+            self._scene_fast, intr_b, c2w_b, w2c_b, width=w, height=h,
             use_cull=self._cameras_outside(poses),
         ))
         total = (raster._pad_to(w, self._BLOCK_W) // self._BLOCK_W) * (
@@ -420,7 +540,7 @@ class BakedMeshRenderer:
         c2w = jnp.asarray(camera.pose, jnp.float32)
         w2c = jnp.asarray(np.linalg.inv(camera.pose), jnp.float32)
         return self._render_frame_jit(
-            self._scene, intr, c2w, w2c,
+            self._scene_fast, intr, c2w, w2c,
             width=camera.width, height=camera.height, nr_cand=nr_cand,
             use_cull=self._cameras_outside(camera.pose),
             nr_blocks=nr_blocks,
@@ -453,7 +573,7 @@ class BakedMeshRenderer:
             np.stack([np.linalg.inv(c.pose) for c in cameras]), jnp.float32
         )
         return self._render_frames_jit(
-            self._scene, intr_b, c2w_b, w2c_b, width=w, height=h,
+            self._scene_fast, intr_b, c2w_b, w2c_b, width=w, height=h,
             nr_cand=nr_cand, use_cull=self._cameras_outside(poses),
             nr_blocks=nr_blocks,
         )
