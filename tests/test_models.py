@@ -288,3 +288,34 @@ def test_nerfhash_bg_field():
     rgb, density = bg.apply(params, pts, dirs)
     assert rgb.shape == (16, 3) and density.shape == (16, 1)
     assert float(density.min()) >= 0.0
+
+
+def test_offsets_sdf_with_grads_matches_autodiff():
+    """Analytic per-surface gradients (with_grads=True) == reverse-mode
+    autodiff of each surface's sdf, including the softplus/cumsum offset
+    chain."""
+    model = F.OffsetsSDF(
+        mlp_layers_dims=(16, 16),
+        encoding_type="gridhash",
+        nr_inner_surfs=2,
+        nr_outer_surfs=1,
+        geom_feat_size=8,
+    )
+    pts = jax.random.uniform(jax.random.PRNGKey(0), (32, 3), minval=-0.5, maxval=0.5)
+    params = model.init(jax.random.PRNGKey(1), pts)
+
+    sdfs, offsets, geom, grads = model.apply(params, pts, with_grads=True)
+    sdfs_plain, offsets_plain, geom_plain = model.apply(params, pts)
+    np.testing.assert_allclose(np.asarray(sdfs), np.asarray(sdfs_plain), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(offsets), np.asarray(offsets_plain), atol=1e-6
+    )
+    assert grads.shape == (32, model.nr_inner_surfs + model.nr_outer_surfs + 1, 3)
+
+    for s in range(sdfs.shape[-2]):
+        g_rev = jax.grad(
+            lambda p: jnp.sum(model.apply(params, p)[0][..., s, 0])
+        )(pts)
+        np.testing.assert_allclose(
+            np.asarray(grads[:, s, :]), np.asarray(g_rev), rtol=1e-4, atol=1e-6
+        )

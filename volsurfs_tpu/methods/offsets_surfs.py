@@ -223,6 +223,29 @@ class OffsetsSurfs:
             params["sdfs"], points, iter_nr, train_main, train_offsets
         )
 
+    def _sdfs_with_grads(self, params, points, iter_nr, train_main=True,
+                         train_offsets=True):
+        """(sdfs, offsets, geom_feat, sdfs_grad [..., S, 3]): analytic
+        encoder-jacobian gradients of every surface at once
+        (hp.sdf_grads_mode="autodiff"; one backward table scatter) or the
+        reference's batched 4-point finite difference ("finite_diff",
+        volsurfs_py/utils/fields_utils.py:6-80)."""
+        if self.hp.sdf_grads_mode == "autodiff":
+            return self.sdfs_model.apply(
+                params["sdfs"], points, iter_nr, train_main, train_offsets,
+                with_grads=True,
+            )
+        sdfs, offsets, geom_feat = self._sdfs_fn(
+            params, points, iter_nr, train_main, train_offsets
+        )
+        grads = get_fields_gradients(
+            lambda p: self._sdfs_fn(params, p, iter_nr, train_main, train_offsets)[0][
+                ..., 0
+            ],
+            points,
+        )
+        return sdfs, offsets, geom_feat, grads
+
     def _rgb_fn(self, params, surf_idx, *args):
         name = f"rgb_{surf_idx if self.hp.are_surfs_colors_indep else 0}"
         return self.rgb_model.apply(params[name], *args)
@@ -307,13 +330,9 @@ class OffsetsSurfs:
         pos = samples.positions()
         dirs = samples.dirs()
 
-        sdfs, _, geom_feat = self._sdfs_fn(params, pos, iter_nr, train_main, train_offsets)
-        # [R, S, nr_surfs, 3]: one 4-point FD evaluates every surface at once
-        surfs_grad = get_fields_gradients(
-            lambda p: self._sdfs_fn(params, p, iter_nr, train_main, train_offsets)[0][
-                ..., 0
-            ],
-            pos,
+        # [R, S, nr_surfs, 3]: every surface's gradient from one evaluation
+        sdfs, _, geom_feat, surfs_grad = self._sdfs_with_grads(
+            params, pos, iter_nr, train_main, train_offsets
         )
         surfs_normals_s = safe_normalize(surfs_grad)
 
@@ -430,12 +449,9 @@ class OffsetsSurfs:
         }
 
     def _support_grads(self, params, pts, iter_nr, train_main, train_offsets):
-        grads = get_fields_gradients(
-            lambda p: self._sdfs_fn(params, p, iter_nr, train_main, train_offsets)[0][
-                ..., 0
-            ],
-            pts,
-        )  # [N, nr_surfs, 3]
+        grads = self._sdfs_with_grads(
+            params, pts, iter_nr, train_main, train_offsets
+        )[3]  # [N, nr_surfs, 3]
         supp_idx = [i for i in range(self.nr_surfs) if i != self.main_surf_idx]
         return grads[:, supp_idx, :]
 
@@ -460,13 +476,11 @@ class OffsetsSurfs:
         denom = jnp.clip(jnp.sum(s_mask), 1)
 
         r_pts = self.bounding_primitive.get_random_points_inside(k_pts, 1024)
-        r_sdfs, _, _ = self._sdfs_fn(params, r_pts, iter_nr, train_main, train_offsets)
-        r_main_grad = get_field_gradients(
-            lambda p: self._sdfs_fn(params, p, iter_nr, train_main, train_offsets)[0][
-                ..., self.main_surf_idx, 0:1
-            ],
-            r_pts,
+        # one evaluation yields every surface's value AND gradient
+        r_sdfs, _, _, r_grads = self._sdfs_with_grads(
+            params, r_pts, iter_nr, train_main, train_offsets
         )
+        r_main_grad = r_grads[..., self.main_surf_idx, :]
 
         loss_eik_main = jnp.asarray(0.0)
         if hp.eikonal_weight > 0.0 and train_main:
@@ -483,11 +497,11 @@ class OffsetsSurfs:
             and train_offsets
             and self.nr_surfs > 1
         ):
-            r_supp = self._support_grads(params, r_pts, iter_nr, train_main, train_offsets)
+            supp_idx = [i for i in range(self.nr_surfs) if i != self.main_surf_idx]
+            r_supp = r_grads[:, supp_idx, :]
             loss_eik_supp = (
                 L.eikonal_loss(r_supp) * hp.support_surfs_eikonal_weight
             )
-            supp_idx = [i for i in range(self.nr_surfs) if i != self.main_surf_idx]
             s_supp = res["samples_sdfs_grad"][..., supp_idx, :]
             err = jnp.where(
                 s_mask[..., None], (safe_norm(s_supp, axis=-1) - 1.0) ** 2, 0.0
@@ -515,6 +529,9 @@ class OffsetsSurfs:
                 samples.positions(),
                 res["samples_sdfs_grad"][..., self.main_surf_idx, :],
                 k_curv,
+                grad_fn=lambda p: self._sdfs_with_grads(
+                    params, p, iter_nr, train_main, train_offsets
+                )[3][..., self.main_surf_idx, :],
             )
             curv = jnp.where(s_mask[..., None], curv, 0.0)
             loss_curv = (jnp.sum(curv) / denom) * hp.curvature_weight

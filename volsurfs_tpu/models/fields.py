@@ -149,20 +149,79 @@ class OffsetsSDF(nn.Module):
         iter_nr=None,
         train_main_surf: bool = True,
         train_offsets: bool = True,
+        with_grads: bool = False,
     ):
-        sdf, geom_feats = self.main_sdf(points, iter_nr, train_main_surf)
+        """-> (sdfs [..., S, 1], offsets [..., S, 1], geom_feats), plus
+        sdfs_grad [..., S, 3] when with_grads=True: analytic per-surface
+        spatial gradients via the encoder jacobian + MLP tangent chain (one
+        table scatter in the backward instead of the reference's 4-point
+        finite difference over the whole multi-head forward)."""
+        if not with_grads:
+            sdf, geom_feats = self.main_sdf(points, iter_nr, train_main_surf)
+            if self.nr_surfs == 1:
+                return sdf[..., None, :], None, geom_feats
+            cum_inner, cum_outer, inner_eps, outer_eps = self.get_offsets(
+                geom_feats, train_offsets
+            )
+            inner_sdfs = sdf + cum_inner
+            outer_sdfs = sdf + cum_outer
+            sdfs = jnp.concatenate([inner_sdfs, sdf, outer_sdfs], axis=-1)[..., None]
+            offsets = jnp.concatenate(
+                [inner_eps, jnp.zeros_like(sdf), outer_eps], axis=-1
+            )[..., None]
+            return sdfs, offsets, geom_feats
+
+        feats, dfeats, _ = self.pos_encoder(points, iter_nr, with_grads=True)
+        pred, dpred = self.mlp_sdf(feats, tangents=dfeats)
+        if not train_main_surf:
+            pred = jax.lax.stop_gradient(pred)
+            dpred = jax.lax.stop_gradient(dpred)
+        sdf = pred[..., 0:1]
+        sdf_grad = dpred[..., 0, :]  # [..., 3]
+        geom_feats = pred[..., 1:] if self.geom_feat_size > 0 else None
+        dgeom = dpred[..., 1:, :] if self.geom_feat_size > 0 else None
         if self.nr_surfs == 1:
-            return sdf[..., None, :], None, geom_feats
-        cum_inner, cum_outer, inner_eps, outer_eps = self.get_offsets(
-            geom_feats, train_offsets
+            return sdf[..., None, :], None, geom_feats, sdf_grad[..., None, :]
+
+        # eps heads with tangents (chain rule through geom_feats)
+        if self.use_per_offset_mlp:
+            pairs = [m(geom_feats, tangents=dgeom) for m in self.mlps_eps]
+            eps = jnp.concatenate([p[0] for p in pairs], axis=-1)
+            deps = jnp.concatenate([p[1] for p in pairs], axis=-2)
+        else:
+            eps, deps = self.mlp_eps(geom_feats, tangents=dgeom)
+        if not train_offsets:
+            eps = jax.lax.stop_gradient(eps)
+            deps = jax.lax.stop_gradient(deps)
+
+        # softplus / cumsum chain with tangents (mirrors get_offsets)
+        sig = jax.nn.sigmoid(eps)  # softplus'
+        inner_eps = jax.nn.softplus(eps[..., self.nr_outer_surfs :])
+        outer_eps = -jax.nn.softplus(eps[..., : self.nr_outer_surfs])
+        dinner = sig[..., self.nr_outer_surfs :, None] * deps[
+            ..., self.nr_outer_surfs :, :
+        ]
+        douter = -sig[..., : self.nr_outer_surfs, None] * deps[
+            ..., : self.nr_outer_surfs, :
+        ]
+        cum_outer = jnp.cumsum(outer_eps, axis=-1) - self.min_offset
+        cum_inner = jnp.flip(
+            jnp.cumsum(inner_eps, axis=-1) + self.min_offset, axis=-1
         )
-        inner_sdfs = sdf + cum_inner
-        outer_sdfs = sdf + cum_outer
-        sdfs = jnp.concatenate([inner_sdfs, sdf, outer_sdfs], axis=-1)[..., None]
+        dcum_outer = jnp.cumsum(douter, axis=-2)
+        dcum_inner = jnp.flip(jnp.cumsum(dinner, axis=-2), axis=-2)
+
+        sdfs = jnp.concatenate(
+            [sdf + cum_inner, sdf, sdf + cum_outer], axis=-1
+        )[..., None]
         offsets = jnp.concatenate(
             [inner_eps, jnp.zeros_like(sdf), outer_eps], axis=-1
         )[..., None]
-        return sdfs, offsets, geom_feats
+        g = sdf_grad[..., None, :]
+        sdfs_grad = jnp.concatenate(
+            [g + dcum_inner, g, g + dcum_outer], axis=-2
+        )  # [..., S, 3]
+        return sdfs, offsets, geom_feats, sdfs_grad
 
 
 class Density(nn.Module):
