@@ -109,13 +109,16 @@ def main():
     assert float(np.isfinite(img).mean()) == 1.0
 
     cams = [cam(i) for i in range(nr_frames)]
-    # block-compaction budget for this orbit (binning-only pre-pass)
-    nr_blocks = renderer.suggest_nr_blocks(cams)
+    # candidate + block-compaction budgets for this orbit (binning-counts
+    # pre-pass: the scan is linear in nr_cand, shading in nr_blocks)
+    nr_cand, nr_blocks = renderer.suggest_budgets(cams)
     # compile the batched executable, verify no candidate/block overflow
-    imgs, ovf = renderer.render_frames_device(cams, nr_blocks=nr_blocks)
-    if int(ovf) != 0:  # margin too tight — fall back to the full frame
-        nr_blocks = 0
-        imgs, ovf = renderer.render_frames_device(cams, nr_blocks=0)
+    imgs, ovf = renderer.render_frames_device(
+        cams, nr_cand=nr_cand, nr_blocks=nr_blocks
+    )
+    if int(ovf) != 0:  # margin too tight — fall back to safe defaults
+        nr_cand, nr_blocks = 256, 0
+        imgs, ovf = renderer.render_frames_device(cams, nr_cand=nr_cand)
     assert int(ovf) == 0
     assert np.isfinite(np.asarray(imgs[-1])).all()
 
@@ -123,7 +126,9 @@ def main():
     # swapchain analogue — per-frame host dispatch through the tunnel is
     # pure overhead, not device work); sync once via an on-device scalar
     t0 = time.perf_counter()
-    imgs, _ = renderer.render_frames_device(cams, nr_blocks=nr_blocks)
+    imgs, _ = renderer.render_frames_device(
+        cams, nr_cand=nr_cand, nr_blocks=nr_blocks
+    )
     acc = float(imgs.mean())  # forces completion of every frame
     dt = time.perf_counter() - t0
     assert np.isfinite(acc)

@@ -63,7 +63,7 @@ def main():
     w2c = jnp.asarray(np.linalg.inv(cam.pose), jnp.float32)
     intrj = jnp.asarray(cam.intrinsics, jnp.float32)
 
-    scene = r._scene
+    scene = r._scene_fast
     nr_cand = 256
     nr_blocks = int(sys.argv[1]) if len(sys.argv) > 1 else 80
     bh, bw = r._BLOCK_H, r._BLOCK_W

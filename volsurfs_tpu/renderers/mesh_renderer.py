@@ -486,31 +486,38 @@ class BakedMeshRenderer:
 
     def _count_blocks_scan(self, scene, intr_b, c2w_b, w2c_b, *, width,
                            height, use_cull=False):
-        """Max number of screen blocks with >= 1 candidate triangle over a
-        camera batch (binning only — cheap, no shading)."""
+        """Over a camera batch: (max number of screen blocks with >= 1
+        candidate triangle, max per-block candidate count over meshes) —
+        binning counts only, no candidate lists, no shading."""
 
         def one(_, cams):
             intr, c2w, w2c = cams
             has = None
+            maxc = jnp.zeros((), jnp.int32)
             for i, mesh in enumerate(scene["meshes"]):
-                cand, _ = raster.bin_triangles(
-                    mesh.verts, mesh.faces, intr, w2c, width, height, 1,
+                counts = raster.bin_triangle_counts(
+                    mesh.verts, mesh.faces, intr, w2c, width, height,
                     tile_h=self._BLOCK_H, tile_w=self._BLOCK_W,
                     cull_sign=self._cull_signs[i] if use_cull else 0,
                 )
-                h = cand[:, 0] >= 0
+                h = counts > 0
                 has = h if has is None else has | h
-            return None, jnp.sum(has)
+                maxc = jnp.maximum(maxc, jnp.max(counts))
+            return None, (jnp.sum(has), maxc)
 
-        _, counts = jax.lax.scan(one, None, (intr_b, c2w_b, w2c_b))
-        return jnp.max(counts)
+        _, (blocks, cands) = jax.lax.scan(one, None, (intr_b, c2w_b, w2c_b))
+        return jnp.max(blocks), jnp.max(cands)
 
     # ---- public --------------------------------------------------------------
 
-    def suggest_nr_blocks(self, cameras, margin: int = 8) -> int:
-        """Block-compaction budget for `render_frames_device` on this camera
-        set: the max per-frame count of candidate blocks plus a margin,
-        rounded up to a multiple of 8 (0 if compaction would not help)."""
+    def suggest_budgets(self, cameras, margin: int = 8):
+        """(nr_cand, nr_blocks) budgets for `render_frames_device` on this
+        camera set, from a binning-counts pre-pass: the max per-block
+        candidate count and the max per-frame candidate-block count, each
+        plus a margin and rounded up to a multiple of 8.  The candidate scan
+        is linear in nr_cand and shading is linear in nr_blocks, so tight
+        budgets matter; overflow still feeds the caller's retry.
+        nr_blocks is 0 when compaction would not help."""
         w, h = cameras[0].width, cameras[0].height
         poses = np.stack([c.pose for c in cameras])
         intr_b = jnp.asarray(np.stack([c.intrinsics for c in cameras]),
@@ -519,15 +526,21 @@ class BakedMeshRenderer:
         w2c_b = jnp.asarray(
             np.stack([np.linalg.inv(c.pose) for c in cameras]), jnp.float32
         )
-        count = int(self._count_blocks_jit(
+        blocks, cands = self._count_blocks_jit(
             self._scene_fast, intr_b, c2w_b, w2c_b, width=w, height=h,
             use_cull=self._cameras_outside(poses),
-        ))
+        )
+        blocks, cands = int(blocks), int(cands)
         total = (raster._pad_to(w, self._BLOCK_W) // self._BLOCK_W) * (
             raster._pad_to(h, self._BLOCK_H) // self._BLOCK_H
         )
-        budget = (count + margin + 7) // 8 * 8
-        return budget if budget < total else 0
+        blk_budget = (blocks + margin + 7) // 8 * 8
+        cand_budget = (cands + margin + 7) // 8 * 8
+        return cand_budget, (blk_budget if blk_budget < total else 0)
+
+    def suggest_nr_blocks(self, cameras, margin: int = 8) -> int:
+        """Block-compaction budget only (see suggest_budgets)."""
+        return self.suggest_budgets(cameras, margin)[1]
 
     def render_rays(self, rays_o, rays_d):
         return self._render_jit(self._scene, rays_o, rays_d)

@@ -139,6 +139,54 @@ def bin_triangles(verts, faces, intrinsics, w2c, width, height, nr_cand,
     return cand, overflow
 
 
+def bin_triangle_counts(verts, faces, intrinsics, w2c, width, height,
+                        near=0.05, tile_h=TILE_H, tile_w=TILE_W, cull_sign=0):
+    """Per-tile candidate-triangle COUNTS only (no candidate lists, no
+    top_k) — the cheap pre-pass behind budget suggestion. Same overlap
+    logic as bin_triangles. Returns count [T] int32."""
+    verts = jnp.asarray(verts, jnp.float32)
+    faces = jnp.asarray(faces, jnp.int32)
+    R = w2c[:3, :3]
+    t = w2c[:3, 3]
+    pc = verts @ R.T + t
+    z = pc[:, 2]
+    z_safe = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    fx, fy = intrinsics[0, 0], intrinsics[1, 1]
+    cx, cy = intrinsics[0, 2], intrinsics[1, 2]
+    sx = fx * pc[:, 0] / z_safe + cx
+    sy = fy * pc[:, 1] / z_safe + cy
+    f_sx = sx[faces]
+    f_sy = sy[faces]
+    f_z = z[faces]
+    valid = jnp.all(f_z > near, axis=-1)
+    if cull_sign:
+        origin = -R.T @ t
+        wv0 = verts[faces[:, 0]]
+        n = jnp.cross(verts[faces[:, 1]] - wv0, verts[faces[:, 2]] - wv0)
+        facing = jnp.einsum("ij,ij->i", n, wv0 - origin[None, :])
+        valid = valid & (jnp.float32(cull_sign) * facing < 0.0)
+    x0 = jnp.min(f_sx, axis=-1)
+    x1 = jnp.max(f_sx, axis=-1)
+    y0 = jnp.min(f_sy, axis=-1)
+    y1 = jnp.max(f_sy, axis=-1)
+    tx0 = jnp.floor(x0 / tile_w).astype(jnp.int32)
+    tx1 = jnp.floor(x1 / tile_w).astype(jnp.int32)
+    ty0 = jnp.floor(y0 / tile_h).astype(jnp.int32)
+    ty1 = jnp.floor(y1 / tile_h).astype(jnp.int32)
+    n_tx = _pad_to(width, tile_w) // tile_w
+    n_ty = _pad_to(height, tile_h) // tile_h
+    tiles_x = jnp.arange(n_tx, dtype=jnp.int32)
+    tiles_y = jnp.arange(n_ty, dtype=jnp.int32)
+    ox = (tx0[None, :] <= tiles_x[:, None]) & (tiles_x[:, None] <= tx1[None, :])
+    oy = (ty0[None, :] <= tiles_y[:, None]) & (tiles_y[:, None] <= ty1[None, :])
+    F = faces.shape[0]
+    ovl = (
+        oy.reshape(n_ty, 1, F) & ox.reshape(1, n_tx, F)
+    ).reshape(n_ty * n_tx, F)
+    ovl = ovl & valid[None, :]
+    return jnp.sum(ovl, axis=-1)
+
+
 def bin_triangles_2level(verts, faces, intrinsics, w2c, width, height,
                          nr_cand, nr_coarse_cand=None, near=0.05):
     """Two-level binning: coarse 32x64 px blocks first, then fine 8x16 tiles
