@@ -249,9 +249,11 @@ def test_block_compaction_matches_full_frame(baked_scene):
     from volsurfs_tpu.renderers.mesh_renderer import BakedMeshRenderer
 
     r = BakedMeshRenderer(baked_scene, bg_color="white")
-    cam = OrbitCamera(256, 256, radius=2.0).camera()  # 8x4 = 32 blocks
+    cam = OrbitCamera(384, 384, radius=2.0).camera()  # 12x6 = 72 blocks
     img_full, ovf_full = r.render_frame_device(cam)
-    img_cmp, ovf_cmp = r.render_frame_device(cam, nr_blocks=28)
+    _, nr_blocks = r.suggest_budgets([cam])
+    assert nr_blocks > 0
+    img_cmp, ovf_cmp = r.render_frame_device(cam, nr_blocks=nr_blocks)
     assert int(ovf_full) == 0 and int(ovf_cmp) == 0
     np.testing.assert_array_equal(np.asarray(img_full), np.asarray(img_cmp))
 

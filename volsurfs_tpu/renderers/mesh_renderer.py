@@ -29,28 +29,6 @@ from volsurfs_tpu.ops.sh import sh_eval
 from volsurfs_tpu.renderers import raster
 
 
-def make_footprint_table(tex_u8):
-    """[H, W, 4, C] uint8 texture -> footprint table [H*W, 16C] uint8.
-
-    Row (y*W + x) holds the 2x2 bilinear footprint of base texel (x, y) in
-    corner order (x,y), (x+1,y), (x,y+1), (x+1,y+1); +1 neighbours clamp to
-    the edge (so rows on the last row/column duplicate edge texels, which
-    keeps clamp-to-edge filtering exact).
-
-    Stored as raw uint8 PNG values: TPU random-row gather time scales with
-    total table BYTES (scripts/bench_gather.py), so 1-byte texels are ~2-4x
-    faster to filter than fp16 and the /255 dequantization folds into the
-    existing lo/hi affine in the sampler."""
-    H, W = tex_u8.shape[:2]
-    flat = np.ascontiguousarray(tex_u8, np.uint8).reshape(H, W, -1)
-    xp = np.minimum(np.arange(W) + 1, W - 1)
-    yp = np.minimum(np.arange(H) + 1, H - 1)
-    out = np.concatenate(
-        [flat, flat[:, xp], flat[yp], flat[yp][:, xp]], axis=-1
-    )  # [H, W, 16C]
-    return out.reshape(H * W, -1)
-
-
 def choose_block_edge(h: int, w: int, max_rows: int = 2**18) -> int:
     """Smallest power-of-two texel block whose table has <= max_rows rows
     (and that divides the texture)."""
@@ -103,12 +81,21 @@ class BakedMeshRenderer:
     """Renders a baked scene directory (scene.json + meshes/ + textures/)."""
 
     def __init__(self, scene_dir: str, bg_color=None,
-                 max_texture_res: int | None = None):
+                 max_texture_res: int | None = None,
+                 block_px: tuple[int, int] = (32, 64)):
         """max_texture_res: box-downsample texture bands above this
         resolution at load (minification prefilter, like GL mipmapping in
         the reference's WebGL viewer; None keeps base level — exact parity
-        with the reference TensorTexture lerp path)."""
+        with the reference TensorTexture lerp path).
+
+        block_px: raster screen-block size (h, w). Coarse 32x64 blocks (the
+        default) measure faster end to end (7.24 vs 6.52 Mrays/s on the
+        5-shell orbit) even though fine 8x16 tiles via the 2-level binner
+        cut ray-triangle tests ~5x — the frame is overhead/memory-bound,
+        not FLOP-bound. (8, 16) selects the fine path."""
         from PIL import Image
+
+        self._BLOCK_H, self._BLOCK_W = block_px
 
         with open(os.path.join(scene_dir, "scene.json")) as f:
             self.scene = json.load(f)
@@ -391,13 +378,6 @@ class BakedMeshRenderer:
             hit_list.append(hits_all["is_hit"][i])
         return self._shade(scene, uv_list, hit_list, rays_d)
 
-    # raster block size: 32x64 px (2048 lanes). Coarser than the default
-    # 8x16 tiles so binning runs one cheap top_k over few rows (binning was
-    # the dominant frame cost at 8x16); the scan does more ray-triangle
-    # tests but those are dense VPU work and stay cheap.
-    _BLOCK_H = 32
-    _BLOCK_W = 64
-
     def _render_frame_tiles(self, scene, intrinsics, c2w, w2c, *, width,
                             height, nr_cand, use_cull=False, nr_blocks=0):
         """One whole frame via the tile-binned rasterizer (renderers/raster.py):
@@ -416,11 +396,21 @@ class BakedMeshRenderer:
         overflow = jnp.zeros((), jnp.int32)
         cand_list = []
         for i, mesh in enumerate(scene["meshes"]):
-            cand, ovf = raster.bin_triangles(
-                mesh.verts, mesh.faces, intrinsics, w2c, width, height,
-                nr_cand, tile_h=bh, tile_w=bw,
-                cull_sign=self._cull_signs[i] if use_cull else 0,
-            )
+            if (bh, bw) == (raster.TILE_H, raster.TILE_W):
+                # fine tiles: candidates concentrate (scan ~ tiles x K drops
+                # ~3x) and block compaction quantizes tighter; the 2-level
+                # binner keeps the [tiles, faces] top_k affordable
+                cand, ovf = raster.bin_triangles_2level(
+                    mesh.verts, mesh.faces, intrinsics, w2c, width, height,
+                    nr_cand,
+                    cull_sign=self._cull_signs[i] if use_cull else 0,
+                )
+            else:
+                cand, ovf = raster.bin_triangles(
+                    mesh.verts, mesh.faces, intrinsics, w2c, width, height,
+                    nr_cand, tile_h=bh, tile_w=bw,
+                    cull_sign=self._cull_signs[i] if use_cull else 0,
+                )
             overflow = overflow + jnp.sum(ovf)
             cand_list.append(cand)
 

@@ -188,10 +188,13 @@ def bin_triangle_counts(verts, faces, intrinsics, w2c, width, height,
 
 
 def bin_triangles_2level(verts, faces, intrinsics, w2c, width, height,
-                         nr_cand, nr_coarse_cand=None, near=0.05):
+                         nr_cand, nr_coarse_cand=None, near=0.05,
+                         cull_sign=0):
     """Two-level binning: coarse 32x64 px blocks first, then fine 8x16 tiles
     against only the coarse candidates. Cuts the top_k work ~9x vs the
     single-level [tiles, faces] mask (the dominant binning cost).
+
+    cull_sign: as in bin_triangles (backface culling for closed shells).
 
     Returns (cand [T, K], overflow [T])."""
     if nr_coarse_cand is None:
@@ -212,6 +215,12 @@ def bin_triangles_2level(verts, faces, intrinsics, w2c, width, height,
     f_sy = sy[faces]
     f_z = z[faces]
     valid = jnp.all(f_z > near, axis=-1)
+    if cull_sign:
+        origin = -R.T @ t
+        wv0 = verts[faces[:, 0]]
+        n = jnp.cross(verts[faces[:, 1]] - wv0, verts[faces[:, 2]] - wv0)
+        facing = jnp.einsum("ij,ij->i", n, wv0 - origin[None, :])
+        valid = valid & (jnp.float32(cull_sign) * facing < 0.0)
     x0 = jnp.min(f_sx, axis=-1)
     x1 = jnp.max(f_sx, axis=-1)
     y0 = jnp.min(f_sy, axis=-1)
