@@ -263,3 +263,14 @@ def test_block_compaction_matches_full_frame(baked_scene):
     assert int(ovf_small) > 0
     img_retry = r.render_frame(cam, nr_blocks=1)
     np.testing.assert_array_equal(np.asarray(img_full), img_retry)
+
+
+def test_render_turntable_uses_budgeted_raster_path(baked_scene, tmp_path):
+    from volsurfs_tpu.renderers.mesh_renderer import BakedMeshRenderer
+    from volsurfs_tpu.renderers.viewer import render_turntable
+
+    r = BakedMeshRenderer(baked_scene, bg_color="white")
+    times = render_turntable(r, str(tmp_path), nr_frames=2, resolution=96)
+    assert len(times) == 2
+    import os
+    assert os.path.exists(os.path.join(str(tmp_path), "frame_001.png"))

@@ -77,11 +77,27 @@ def render_turntable(
     from PIL import Image
 
     cam = OrbitCamera(resolution, resolution, radius)
-    frame_times = []
+    cameras = []
     for i in range(nr_frames):
         cam.azimuth = 2.0 * np.pi * i / nr_frames
+        cameras.append(cam.camera())
+
+    use_raster = hasattr(renderer, "render_frame")
+    if use_raster:
+        # rasterized fast path with candidate/block budgets sized once for
+        # the whole orbit (renderers/mesh_renderer.suggest_budgets)
+        nr_cand, nr_blocks = renderer.suggest_budgets(cameras)
+        _, ovf = renderer.render_frame_device(cameras[0], nr_cand, nr_blocks)
+        if int(ovf) != 0:
+            nr_cand, nr_blocks = 256, 0
+
+    frame_times = []
+    for i, camera in enumerate(cameras):
         t0 = time.perf_counter()
-        img = renderer.render(cam.camera())
+        if use_raster:
+            img = renderer.render_frame(camera, nr_cand, nr_blocks)
+        else:
+            img = renderer.render(camera)
         frame_times.append(time.perf_counter() - t0)
         Image.fromarray(
             (np.clip(img, 0, 1) * 255).astype(np.uint8)
