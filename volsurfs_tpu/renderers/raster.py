@@ -128,7 +128,9 @@ def bin_triangles(verts, faces, intrinsics, w2c, width, height, nr_cand,
     ovl = ovl & valid[None, :]
 
     # fixed-size candidate ids: smallest face indices first via top_k on
-    # (F - index) scores; 0 means "no triangle"
+    # (F - index) scores; 0 means "no triangle". (A cumsum+searchsorted
+    # compaction was tried and measures 5.2 vs 7.2 Mrays/s end to end —
+    # XLA's vmapped binary search lowers worse than the top_k sort.)
     nr_cand = min(nr_cand, F)  # budget can't exceed the face count
     iota = jnp.arange(F, dtype=jnp.int32)
     scores = jnp.where(ovl, F - iota, 0)
