@@ -529,9 +529,14 @@ class OffsetsSurfs:
                 samples.positions(),
                 res["samples_sdfs_grad"][..., self.main_surf_idx, :],
                 k_curv,
-                grad_fn=lambda p: self._sdfs_with_grads(
-                    params, p, iter_nr, train_main, train_offsets
-                )[3][..., self.main_surf_idx, :],
+                grad_fn=(
+                    (lambda p: self.sdfs_model.apply(
+                        params["sdfs"], p, iter_nr, train_main,
+                        method="main_sdf_grad",
+                    ))
+                    if self.hp.sdf_grads_mode == "autodiff"
+                    else None
+                ),
             )
             curv = jnp.where(s_mask[..., None], curv, 0.0)
             loss_curv = (jnp.sum(curv) / denom) * hp.curvature_weight

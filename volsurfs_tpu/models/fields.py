@@ -62,6 +62,22 @@ class SDF(nn.Module):
         return sdf, geom_feats, sdf_grad
 
 
+def _small_cumsum(x, axis: int):
+    """Unrolled cumulative sum along a tiny static axis (the nr_surfs axis,
+    <= ~9). jnp.cumsum lowers to a reduce-window that the TPU fusion
+    emitter miscompiles in some stop-gradient graphs (CHECK
+    window_bounds == strides in fusion_emitter.cc, hit by the offsets
+    color-init phase); a static chain of adds is also faster at this size."""
+    k = x.shape[axis]
+    slices = [jax.lax.index_in_dim(x, i, axis, keepdims=True) for i in range(k)]
+    acc = slices[0]
+    outs = [acc]
+    for i in range(1, k):
+        acc = acc + slices[i]
+        outs.append(acc)
+    return jnp.concatenate(outs, axis=axis)
+
+
 class OffsetsSDF(nn.Module):
     """Main SDF + k offset level-set heads (reference models/offsets_sdf.py:12-261).
 
@@ -125,6 +141,16 @@ class OffsetsSDF(nn.Module):
         geom_feats = pred[..., 1:] if self.geom_feat_size > 0 else None
         return sdf, geom_feats
 
+    def main_sdf_grad(self, points, iter_nr=None, train_main_surf: bool = True):
+        """Analytic spatial gradient of the MAIN surface only [..., 3] —
+        skips the eps-head tangent chain that the full with_grads path runs
+        (used by the curvature loss, which needs just the main normal)."""
+        feats, dfeats, _ = self.pos_encoder(points, iter_nr, with_grads=True)
+        pred, dpred = self.mlp_sdf(feats, tangents=dfeats)
+        if not train_main_surf:
+            dpred = jax.lax.stop_gradient(dpred)
+        return dpred[..., 0, :]
+
     def get_offsets(self, geom_feats, train_offsets: bool = True):
         """(cum_inner_eps, cum_outer_eps, inner_eps, outer_eps)
         (reference offsets_sdf.py:140-172)."""
@@ -138,8 +164,8 @@ class OffsetsSDF(nn.Module):
             eps = jax.lax.stop_gradient(eps)
         inner_eps = jax.nn.softplus(eps[..., self.nr_outer_surfs :])
         outer_eps = -jax.nn.softplus(eps[..., : self.nr_outer_surfs])
-        cum_outer_eps = jnp.cumsum(outer_eps, axis=-1) - self.min_offset
-        cum_inner_eps = jnp.cumsum(inner_eps, axis=-1) + self.min_offset
+        cum_outer_eps = _small_cumsum(outer_eps, -1) - self.min_offset
+        cum_inner_eps = _small_cumsum(inner_eps, -1) + self.min_offset
         cum_inner_eps = jnp.flip(cum_inner_eps, axis=-1)
         return cum_inner_eps, cum_outer_eps, inner_eps, outer_eps
 
@@ -204,12 +230,12 @@ class OffsetsSDF(nn.Module):
         douter = -sig[..., : self.nr_outer_surfs, None] * deps[
             ..., : self.nr_outer_surfs, :
         ]
-        cum_outer = jnp.cumsum(outer_eps, axis=-1) - self.min_offset
+        cum_outer = _small_cumsum(outer_eps, -1) - self.min_offset
         cum_inner = jnp.flip(
-            jnp.cumsum(inner_eps, axis=-1) + self.min_offset, axis=-1
+            _small_cumsum(inner_eps, -1) + self.min_offset, axis=-1
         )
-        dcum_outer = jnp.cumsum(douter, axis=-2)
-        dcum_inner = jnp.flip(jnp.cumsum(dinner, axis=-2), axis=-2)
+        dcum_outer = _small_cumsum(douter, -2)
+        dcum_inner = jnp.flip(_small_cumsum(dinner, -2), axis=-2)
 
         sdfs = jnp.concatenate(
             [sdf + cum_inner, sdf, sdf + cum_outer], axis=-1

@@ -128,6 +128,14 @@ class HyperParamsSuRF(HyperParams):
     offsurface_weight: float = 0.0
 
 
+    def __post_init__(self):
+        super().__post_init__()
+        assert self.sdf_grads_mode in ("autodiff", "finite_diff"), (
+            f"sdf_grads_mode must be 'autodiff' or 'finite_diff', "
+            f"got {self.sdf_grads_mode!r}"
+        )
+
+
 @dataclasses.dataclass
 class HyperParamsOffsetsSuRFs(HyperParamsSuRF):
     # surfaces (reference hyper_params.py:267-348)

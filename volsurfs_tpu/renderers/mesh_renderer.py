@@ -387,8 +387,11 @@ class BakedMeshRenderer:
         blocks that have at least one candidate triangle (union over meshes)
         go through ray-triangle testing, texture filtering, SH shading and
         compositing — the rest of the frame is pure background. Blocks with
-        candidates beyond the budget count into `overflow` (the caller
-        retries with a bigger budget, like candidate-list overflow)."""
+        candidates beyond the budget count into the block component of
+        `overflow` (the caller retries with a bigger budget).
+
+        Returns (img, overflow [2] int32: [candidate-list overflows,
+        block-budget overflows]) so the retry can grow the right budget."""
         bh, bw = self._BLOCK_H, self._BLOCK_W
         dirs, origin = raster.tile_rays(
             intrinsics, c2w, width, height, tile_h=bh, tile_w=bw
@@ -415,6 +418,7 @@ class BakedMeshRenderer:
             cand_list.append(cand)
 
         T = cand_list[0].shape[0]
+        blk_overflow = jnp.zeros((), jnp.int32)
         compact = 0 < nr_blocks < T
         if compact:
             # blocks worth shading: any mesh has any candidate triangle there
@@ -427,7 +431,7 @@ class BakedMeshRenderer:
             # ascending valid block ids; invalid slots park at row T which is
             # sliced off after the scatter
             blk = jnp.where(blk_valid, T - topv, T)
-            overflow = overflow + (jnp.sum(has) > nr_blocks).astype(jnp.int32)
+            blk_overflow = (jnp.sum(has) > nr_blocks).astype(jnp.int32)
             safe_blk = jnp.minimum(blk, T - 1)
             dirs = tuple(d[safe_blk] for d in dirs)
             cand_list = [
@@ -454,7 +458,7 @@ class BakedMeshRenderer:
             rgb_tiles = full.at[blk].set(rgb_tiles, indices_are_sorted=True)[:T]
         return (
             raster.tiles_to_image(rgb_tiles, width, height, tile_h=bh, tile_w=bw),
-            overflow,
+            jnp.stack([overflow, blk_overflow]),
         )
 
     def _render_frames_scan(self, scene, intr_b, c2w_b, w2c_b, *, width,
@@ -472,7 +476,7 @@ class BakedMeshRenderer:
             return None, (img, ovf)
 
         _, (imgs, ovfs) = jax.lax.scan(step, None, (intr_b, c2w_b, w2c_b))
-        return imgs, jnp.sum(ovfs)
+        return imgs, jnp.sum(ovfs, axis=0)
 
     def _count_blocks_scan(self, scene, intr_b, c2w_b, w2c_b, *, width,
                            height, use_cull=False):
@@ -528,17 +532,14 @@ class BakedMeshRenderer:
         cand_budget = (cands + margin + 7) // 8 * 8
         return cand_budget, (blk_budget if blk_budget < total else 0)
 
-    def suggest_nr_blocks(self, cameras, margin: int = 8) -> int:
-        """Block-compaction budget only (see suggest_budgets)."""
-        return self.suggest_budgets(cameras, margin)[1]
-
     def render_rays(self, rays_o, rays_d):
         return self._render_jit(self._scene, rays_o, rays_d)
 
     def render_frame_device(self, camera, nr_cand: int = 256,
                             nr_blocks: int = 0):
         """Rasterized frame as DEVICE arrays (img [H, W, 3] f32, overflow
-        scalar) — no host sync, so frames can be pipelined back to back."""
+        [2] int32 [candidate, block]) — no host sync, so frames can be
+        pipelined back to back."""
         intr = jnp.asarray(camera.intrinsics, jnp.float32)
         c2w = jnp.asarray(camera.pose, jnp.float32)
         w2c = jnp.asarray(np.linalg.inv(camera.pose), jnp.float32)
@@ -564,7 +565,8 @@ class BakedMeshRenderer:
                              nr_blocks: int = 0):
         """Batched frame render: all cameras drawn inside one executable
         (lax.scan). Returns (imgs [B, H, W, 3] f32 DEVICE array, overflow
-        scalar) without host sync — the real-time path for frame sequences."""
+        [2] int32 [candidate, block]) without host sync — the real-time
+        path for frame sequences."""
         w = cameras[0].width
         h = cameras[0].height
         poses = np.stack([c.pose for c in cameras])
@@ -585,16 +587,18 @@ class BakedMeshRenderer:
         """Full frame via rasterization — the fast path for camera frames
         (the reference's real-time usage). Returns [H, W, 3] float numpy.
         Retries with larger candidate/block budgets if anything overflowed
-        (a drop would otherwise leave holes). Backfaces are culled whenever
-        the camera is outside every shell (never changes the closest hit
-        there)."""
+        (a drop would otherwise leave holes); candidate and block overflow
+        are reported separately so only the exhausted budget grows.
+        Backfaces are culled whenever the camera is outside every shell
+        (never changes the closest hit there)."""
         while True:
             img, overflow = self.render_frame_device(camera, nr_cand, nr_blocks)
-            if int(overflow) == 0 or (nr_cand >= 8192 and nr_blocks == 0):
+            cand_ovf, blk_ovf = (int(x) for x in np.asarray(overflow))
+            if (cand_ovf == 0 or nr_cand >= 8192) and blk_ovf == 0:
                 return np.asarray(img)
-            if nr_blocks > 0:
+            if blk_ovf:
                 nr_blocks = 0  # fall back to the uncompacted frame
-            else:
+            if cand_ovf:
                 nr_cand *= 2
 
     def render(self, camera, chunk_size: int = 65536):

@@ -69,6 +69,59 @@ def mesh_orientation(verts, faces):
     return 1 if vol > 0 else -1
 
 
+def _project_face_bboxes(verts, faces, intrinsics, w2c, near, cull_sign):
+    """Shared projection stage of every binning variant: camera-space
+    projection, near-plane validity, optional backface cull, per-face screen
+    bbox. Returns (x0, x1, y0, y1 [F] floats, valid [F] bool)."""
+    verts = jnp.asarray(verts, jnp.float32)
+    faces = jnp.asarray(faces, jnp.int32)
+    R = w2c[:3, :3]
+    t = w2c[:3, 3]
+    pc = verts @ R.T + t  # camera space
+    z = pc[:, 2]
+    z_safe = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    fx, fy = intrinsics[0, 0], intrinsics[1, 1]
+    cx, cy = intrinsics[0, 2], intrinsics[1, 2]
+    sx = fx * pc[:, 0] / z_safe + cx
+    sy = fy * pc[:, 1] / z_safe + cy
+    f_sx = sx[faces]  # [F, 3]
+    f_sy = sy[faces]
+    f_z = z[faces]
+    valid = jnp.all(f_z > near, axis=-1)
+    if cull_sign:
+        origin = -R.T @ t  # camera center in world space
+        wv0 = verts[faces[:, 0]]
+        n = jnp.cross(verts[faces[:, 1]] - wv0, verts[faces[:, 2]] - wv0)
+        facing = jnp.einsum("ij,ij->i", n, wv0 - origin[None, :])
+        valid = valid & (jnp.float32(cull_sign) * facing < 0.0)
+    x0 = jnp.min(f_sx, axis=-1)
+    x1 = jnp.max(f_sx, axis=-1)
+    y0 = jnp.min(f_sy, axis=-1)
+    y1 = jnp.max(f_sy, axis=-1)
+    return x0, x1, y0, y1, valid
+
+
+def _tile_overlap(x0, x1, y0, y1, valid, width, height, tile_h, tile_w):
+    """[tiles, F] bool: face bbox overlaps the tile (row-major tiles)."""
+    tx0 = jnp.floor(x0 / tile_w).astype(jnp.int32)
+    tx1 = jnp.floor(x1 / tile_w).astype(jnp.int32)
+    ty0 = jnp.floor(y0 / tile_h).astype(jnp.int32)
+    ty1 = jnp.floor(y1 / tile_h).astype(jnp.int32)
+    n_tx = _pad_to(width, tile_w) // tile_w
+    n_ty = _pad_to(height, tile_h) // tile_h
+    tiles_x = jnp.arange(n_tx, dtype=jnp.int32)
+    tiles_y = jnp.arange(n_ty, dtype=jnp.int32)
+    ox = (tx0[None, :] <= tiles_x[:, None]) & (tiles_x[:, None] <= tx1[None, :])
+    oy = (ty0[None, :] <= tiles_y[:, None]) & (tiles_y[:, None] <= ty1[None, :])
+    F = x0.shape[0]
+    ovl = (
+        oy.reshape(n_ty, 1, F) & ox.reshape(1, n_tx, F)
+    ).reshape(n_ty * n_tx, F)
+    return ovl & valid[None, :]
+
+
+
+
 def bin_triangles(verts, faces, intrinsics, w2c, width, height, nr_cand,
                   near=0.05, tile_h=TILE_H, tile_w=TILE_W, cull_sign=0):
     """Project vertices and build fixed-size per-tile candidate lists.
@@ -81,51 +134,11 @@ def bin_triangles(verts, faces, intrinsics, w2c, width, height, nr_cand,
     Returns cand [T, K] int32 face ids (-1 empty), and overflow [T] bool
     (true where more than K triangles overlapped the tile).
     """
-    verts = jnp.asarray(verts, jnp.float32)
-    faces = jnp.asarray(faces, jnp.int32)
-    R = w2c[:3, :3]
-    t = w2c[:3, 3]
-    pc = verts @ R.T + t  # camera space
-    z = pc[:, 2]
-    z_safe = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
-    fx, fy = intrinsics[0, 0], intrinsics[1, 1]
-    cx, cy = intrinsics[0, 2], intrinsics[1, 2]
-    sx = fx * pc[:, 0] / z_safe + cx
-    sy = fy * pc[:, 1] / z_safe + cy
-
-    f_sx = sx[faces]  # [F, 3]
-    f_sy = sy[faces]
-    f_z = z[faces]
-    valid = jnp.all(f_z > near, axis=-1)
-    if cull_sign:
-        origin = -R.T @ t  # camera center in world space
-        wv0 = verts[faces[:, 0]]
-        n = jnp.cross(verts[faces[:, 1]] - wv0, verts[faces[:, 2]] - wv0)
-        facing = jnp.einsum("ij,ij->i", n, wv0 - origin[None, :])
-        valid = valid & (jnp.float32(cull_sign) * facing < 0.0)
-
-    x0 = jnp.min(f_sx, axis=-1)
-    x1 = jnp.max(f_sx, axis=-1)
-    y0 = jnp.min(f_sy, axis=-1)
-    y1 = jnp.max(f_sy, axis=-1)
-
-    tx0 = jnp.floor(x0 / tile_w).astype(jnp.int32)
-    tx1 = jnp.floor(x1 / tile_w).astype(jnp.int32)
-    ty0 = jnp.floor(y0 / tile_h).astype(jnp.int32)
-    ty1 = jnp.floor(y1 / tile_h).astype(jnp.int32)
-
-    n_tx = _pad_to(width, tile_w) // tile_w
-    n_ty = _pad_to(height, tile_h) // tile_h
-    tiles_x = jnp.arange(n_tx, dtype=jnp.int32)
-    tiles_y = jnp.arange(n_ty, dtype=jnp.int32)
-
-    ox = (tx0[None, :] <= tiles_x[:, None]) & (tiles_x[:, None] <= tx1[None, :])
-    oy = (ty0[None, :] <= tiles_y[:, None]) & (tiles_y[:, None] <= ty1[None, :])
-    F = faces.shape[0]
-    ovl = (
-        oy.reshape(n_ty, 1, F) & ox.reshape(1, n_tx, F)
-    ).reshape(n_ty * n_tx, F)
-    ovl = ovl & valid[None, :]
+    x0, x1, y0, y1, valid = _project_face_bboxes(
+        verts, faces, intrinsics, w2c, near, cull_sign
+    )
+    ovl = _tile_overlap(x0, x1, y0, y1, valid, width, height, tile_h, tile_w)
+    F = x0.shape[0]
 
     # fixed-size candidate ids: smallest face indices first via top_k on
     # (F - index) scores; 0 means "no triangle". (A cumsum+searchsorted
@@ -146,46 +159,10 @@ def bin_triangle_counts(verts, faces, intrinsics, w2c, width, height,
     """Per-tile candidate-triangle COUNTS only (no candidate lists, no
     top_k) — the cheap pre-pass behind budget suggestion. Same overlap
     logic as bin_triangles. Returns count [T] int32."""
-    verts = jnp.asarray(verts, jnp.float32)
-    faces = jnp.asarray(faces, jnp.int32)
-    R = w2c[:3, :3]
-    t = w2c[:3, 3]
-    pc = verts @ R.T + t
-    z = pc[:, 2]
-    z_safe = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
-    fx, fy = intrinsics[0, 0], intrinsics[1, 1]
-    cx, cy = intrinsics[0, 2], intrinsics[1, 2]
-    sx = fx * pc[:, 0] / z_safe + cx
-    sy = fy * pc[:, 1] / z_safe + cy
-    f_sx = sx[faces]
-    f_sy = sy[faces]
-    f_z = z[faces]
-    valid = jnp.all(f_z > near, axis=-1)
-    if cull_sign:
-        origin = -R.T @ t
-        wv0 = verts[faces[:, 0]]
-        n = jnp.cross(verts[faces[:, 1]] - wv0, verts[faces[:, 2]] - wv0)
-        facing = jnp.einsum("ij,ij->i", n, wv0 - origin[None, :])
-        valid = valid & (jnp.float32(cull_sign) * facing < 0.0)
-    x0 = jnp.min(f_sx, axis=-1)
-    x1 = jnp.max(f_sx, axis=-1)
-    y0 = jnp.min(f_sy, axis=-1)
-    y1 = jnp.max(f_sy, axis=-1)
-    tx0 = jnp.floor(x0 / tile_w).astype(jnp.int32)
-    tx1 = jnp.floor(x1 / tile_w).astype(jnp.int32)
-    ty0 = jnp.floor(y0 / tile_h).astype(jnp.int32)
-    ty1 = jnp.floor(y1 / tile_h).astype(jnp.int32)
-    n_tx = _pad_to(width, tile_w) // tile_w
-    n_ty = _pad_to(height, tile_h) // tile_h
-    tiles_x = jnp.arange(n_tx, dtype=jnp.int32)
-    tiles_y = jnp.arange(n_ty, dtype=jnp.int32)
-    ox = (tx0[None, :] <= tiles_x[:, None]) & (tiles_x[:, None] <= tx1[None, :])
-    oy = (ty0[None, :] <= tiles_y[:, None]) & (tiles_y[:, None] <= ty1[None, :])
-    F = faces.shape[0]
-    ovl = (
-        oy.reshape(n_ty, 1, F) & ox.reshape(1, n_tx, F)
-    ).reshape(n_ty * n_tx, F)
-    ovl = ovl & valid[None, :]
+    x0, x1, y0, y1, valid = _project_face_bboxes(
+        verts, faces, intrinsics, w2c, near, cull_sign
+    )
+    ovl = _tile_overlap(x0, x1, y0, y1, valid, width, height, tile_h, tile_w)
     return jnp.sum(ovl, axis=-1)
 
 
@@ -201,32 +178,10 @@ def bin_triangles_2level(verts, faces, intrinsics, w2c, width, height,
     Returns (cand [T, K], overflow [T])."""
     if nr_coarse_cand is None:
         nr_coarse_cand = int(min(faces.shape[0], max(2 * nr_cand, 256)))
-    verts = jnp.asarray(verts, jnp.float32)
+    x0, x1, y0, y1, valid = _project_face_bboxes(
+        verts, faces, intrinsics, w2c, near, cull_sign
+    )
     faces = jnp.asarray(faces, jnp.int32)
-    R = w2c[:3, :3]
-    t = w2c[:3, 3]
-    pc = verts @ R.T + t
-    z = pc[:, 2]
-    z_safe = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
-    fx, fy = intrinsics[0, 0], intrinsics[1, 1]
-    cx, cy = intrinsics[0, 2], intrinsics[1, 2]
-    sx = fx * pc[:, 0] / z_safe + cx
-    sy = fy * pc[:, 1] / z_safe + cy
-
-    f_sx = sx[faces]
-    f_sy = sy[faces]
-    f_z = z[faces]
-    valid = jnp.all(f_z > near, axis=-1)
-    if cull_sign:
-        origin = -R.T @ t
-        wv0 = verts[faces[:, 0]]
-        n = jnp.cross(verts[faces[:, 1]] - wv0, verts[faces[:, 2]] - wv0)
-        facing = jnp.einsum("ij,ij->i", n, wv0 - origin[None, :])
-        valid = valid & (jnp.float32(cull_sign) * facing < 0.0)
-    x0 = jnp.min(f_sx, axis=-1)
-    x1 = jnp.max(f_sx, axis=-1)
-    y0 = jnp.min(f_sy, axis=-1)
-    y1 = jnp.max(f_sy, axis=-1)
 
     n_tx = _pad_to(width, TILE_W) // TILE_W
     n_ty = _pad_to(height, TILE_H) // TILE_H

@@ -88,7 +88,7 @@ def render_turntable(
         # the whole orbit (renderers/mesh_renderer.suggest_budgets)
         nr_cand, nr_blocks = renderer.suggest_budgets(cameras)
         _, ovf = renderer.render_frame_device(cameras[0], nr_cand, nr_blocks)
-        if int(ovf) != 0:
+        if int(np.sum(np.asarray(ovf))) != 0:
             nr_cand, nr_blocks = 256, 0
 
     frame_times = []
