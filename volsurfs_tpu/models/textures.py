@@ -70,21 +70,28 @@ class HashGrid2D(nn.Module):
         floor = jnp.floor(scaled)
         frac = scaled - floor
         floor = floor.astype(jnp.int32)
-        feats = jnp.zeros((p.shape[0], L, F), dtype=table.dtype)
+        # fused 4-corner lookup through the shared custom-VJP path: one
+        # gather forward, one scalar-flat scatter backward (the 3x-faster
+        # formulation; see encodings._hash_lookup / scripts/bench_scatter.py)
+        from volsurfs_tpu.models.encodings import _hash_lookup
+
+        level_off = (jnp.arange(L, dtype=jnp.int32) * T)[None, :]
+        corner_idx, corner_w = [], []
         for corner in range(4):
             off = jnp.asarray([corner & 1, (corner >> 1) & 1], jnp.int32)
             c = (floor + off[None, None, :]).astype(jnp.uint32)
             h = c[..., 0] * jnp.uint32(_PRIMES_2D[0]) ^ c[..., 1] * jnp.uint32(
                 _PRIMES_2D[1]
             )
-            idx = (h % jnp.uint32(T)).astype(jnp.int32)
-            w = jnp.prod(
+            corner_idx.append(
+                (h % jnp.uint32(T)).astype(jnp.int32) + level_off
+            )
+            corner_w.append(jnp.prod(
                 jnp.where(off[None, None, :] == 1, frac, 1.0 - frac), axis=-1
-            )
-            gathered = jax.vmap(lambda t, i: t[i], in_axes=(0, 1), out_axes=1)(
-                table, idx
-            )
-            feats = feats + w[..., None] * gathered
+            ))
+        flat_idx = jnp.stack(corner_idx, axis=-1)  # [N, L, 4]
+        weights = jnp.stack(corner_w, axis=-1)
+        feats = _hash_lookup(table.reshape(L * T, F), flat_idx, weights)
         return feats.reshape(*batch_shape, L * F)
 
 
