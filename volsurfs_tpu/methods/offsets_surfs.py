@@ -34,7 +34,7 @@ from volsurfs_tpu.ops import samples as S
 from volsurfs_tpu.ops import volume_rendering as VR
 from volsurfs_tpu.ops.occupancy import make_grid
 from volsurfs_tpu.utils import losses as L
-from volsurfs_tpu.utils.math import safe_norm, safe_normalize
+from volsurfs_tpu.utils.math import safe_norm, safe_normalize, small_cumprod
 from volsurfs_tpu.utils.schedules import (
     get_logistic_beta_from_variance,
     logistic_distribution_stdev,
@@ -381,7 +381,10 @@ class OffsetsSurfs:
         # (reference offsets_surfs.py:602-665)
         rgb_o2i = jnp.flip(surfs_rgb, axis=1)
         alpha_o2i = jnp.flip(surfs_alpha, axis=1)
-        transmittances = jnp.cumprod(1.0 - alpha_o2i, axis=1)
+        # unrolled: the surfaces axis is tiny and jnp.cumprod's
+        # reduce-window lowering trips a TPU fusion-emitter CHECK in the
+        # color-init stop-gradient graph (see utils/math.small_cumprod)
+        transmittances = small_cumprod(1.0 - alpha_o2i, axis=1)
         if self.nr_surfs == 1:
             surfs_T = jnp.ones_like(transmittances)
             bg_transmittance = transmittances[:, -1]

@@ -17,6 +17,7 @@ from flax import linen as nn
 from volsurfs_tpu.models.encodings import get_encoder
 from volsurfs_tpu.models.mlp import MLP, LipshitzMLP
 from volsurfs_tpu.ops.sh import num_sh_coeffs, sh_basis, sh_eval
+from volsurfs_tpu.utils.math import small_cumsum as _small_cumsum
 
 
 class SDF(nn.Module):
@@ -61,21 +62,6 @@ class SDF(nn.Module):
         sdf_grad = dpred[..., 0, :]
         return sdf, geom_feats, sdf_grad
 
-
-def _small_cumsum(x, axis: int):
-    """Unrolled cumulative sum along a tiny static axis (the nr_surfs axis,
-    <= ~9). jnp.cumsum lowers to a reduce-window that the TPU fusion
-    emitter miscompiles in some stop-gradient graphs (CHECK
-    window_bounds == strides in fusion_emitter.cc, hit by the offsets
-    color-init phase); a static chain of adds is also faster at this size."""
-    k = x.shape[axis]
-    slices = [jax.lax.index_in_dim(x, i, axis, keepdims=True) for i in range(k)]
-    acc = slices[0]
-    outs = [acc]
-    for i in range(1, k):
-        acc = acc + slices[i]
-        outs.append(acc)
-    return jnp.concatenate(outs, axis=axis)
 
 
 class OffsetsSDF(nn.Module):
