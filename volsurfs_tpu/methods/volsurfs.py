@@ -27,6 +27,7 @@ from volsurfs_tpu.models.textures import SHNeuralTextures
 from volsurfs_tpu.ops import bvh as B
 from volsurfs_tpu.ops import raycast as RC
 from volsurfs_tpu.utils import losses as L
+from volsurfs_tpu.utils.math import small_cumprod
 
 
 class VolSurfs:
@@ -259,7 +260,9 @@ class VolSurfs:
         # float16 compositing outer -> inner (reference volsurfs.py:602-640)
         rgb_o2i = jnp.flip(surfs_rgb, axis=1).astype(jnp.float16)
         alpha_o2i = jnp.flip(surfs_alpha, axis=1).astype(jnp.float16)
-        transmittances = jnp.cumprod(1.0 - alpha_o2i, axis=1)
+        # unrolled over the tiny mesh axis (TPU fusion-emitter CHECK on
+        # fused interleaved scans; see utils/math.small_cumprod)
+        transmittances = small_cumprod(1.0 - alpha_o2i, axis=1)
         if self.nr_meshes == 1:
             surfs_T = jnp.ones_like(transmittances)
             bg_transmittance = transmittances[:, -1]

@@ -143,7 +143,11 @@ def compute_samples_fg_in_occupied_regions(
     occ = occ & (seg > 0.0)
 
     occf = occ.astype(jnp.float32)
-    arc_incl = jnp.cumsum(occf * seg, axis=1)  # arc length at END of step k
+    # associative_scan: no reduce-window (TPU fusion-emitter CHECK, see
+    # ops/volume_rendering._scan_cumsum)
+    arc_incl = jax.lax.associative_scan(
+        jnp.add, occf * seg, axis=1
+    )  # arc length at END of step k
     total_arc = arc_incl[:, -1:]
 
     nr, const_dist = _plan_sample_counts(

@@ -18,6 +18,21 @@ import jax.numpy as jnp
 from volsurfs_tpu.ops.samples import RaySamples, batched_searchsorted
 
 
+def _scan_cumsum(x, axis=1):
+    """Cumulative sum via lax.associative_scan: lowers to explicit
+    slice/concat HLO instead of reduce-window. The TPU fusion emitter
+    miscompiles the reduce-window lowering of jnp.cumsum/cumprod when
+    several scans fuse across an interleaved axis (CHECK window_bounds ==
+    strides in fusion_emitter.cc, hit by offsets_surfs' 5-surface render
+    graph); the associative-scan form is immune and no slower."""
+    return jax.lax.associative_scan(jnp.add, x, axis=axis)
+
+
+def _scan_cumprod(x, axis=1):
+    """Cumulative product via lax.associative_scan (see _scan_cumsum)."""
+    return jax.lax.associative_scan(jnp.multiply, x, axis=axis)
+
+
 def cumprod_one_minus_alpha_to_transmittance(one_minus_alpha, mask):
     """Exclusive cumulative product of (1 - alpha) along the samples axis.
 
@@ -33,7 +48,7 @@ def cumprod_one_minus_alpha_to_transmittance(one_minus_alpha, mask):
       transmittance [R, S], bg_transmittance [R, 1]
     """
     oma = jnp.where(mask, one_minus_alpha, 1.0)
-    inclusive = jnp.cumprod(oma, axis=1)
+    inclusive = _scan_cumprod(oma, axis=1)
     transmittance = jnp.concatenate(
         [jnp.ones_like(inclusive[:, :1]), inclusive[:, :-1]], axis=1
     )
@@ -94,7 +109,7 @@ def compute_cdf(weights, mask):
     searchsorted over the dense row never selects them.
     """
     w = jnp.where(mask, weights if weights.ndim == 2 else weights[..., 0], 0.0)
-    inclusive = jnp.cumsum(w, axis=1)
+    inclusive = _scan_cumsum(w, axis=1)
     cdf = jnp.concatenate(
         [jnp.zeros_like(inclusive[:, :1]), inclusive[:, :-1]], axis=1
     )
@@ -188,7 +203,7 @@ def median_depth(samples: RaySamples, weights, threshold: float = 0.5):
     (median_depth_over_rays); falls back to the last valid z if never reached.
     """
     w = jnp.where(samples.mask, weights if weights.ndim == 2 else weights[..., 0], 0.0)
-    csum = jnp.cumsum(w, axis=1)
+    csum = _scan_cumsum(w, axis=1)
     reached = (csum >= threshold) & samples.mask
     S = samples.z.shape[1]
     first_idx = jnp.argmax(reached, axis=1)

@@ -26,6 +26,7 @@ from volsurfs_tpu.baking import mesh_io
 from volsurfs_tpu.models.textures import DEG_NR_COEFFS
 from volsurfs_tpu.ops import bvh as B
 from volsurfs_tpu.ops.sh import sh_eval
+from volsurfs_tpu.utils.math import small_cumprod
 from volsurfs_tpu.renderers import raster
 
 
@@ -355,7 +356,7 @@ class BakedMeshRenderer:
         surfs_alpha = jnp.stack(alphas, axis=1)
         rgb_o2i = jnp.flip(surfs_rgb, axis=1).astype(jnp.float16)
         alpha_o2i = jnp.flip(surfs_alpha, axis=1).astype(jnp.float16)
-        T = jnp.cumprod(1.0 - alpha_o2i, axis=1)
+        T = small_cumprod(1.0 - alpha_o2i, axis=1)
         if len(self.meshes) == 1:
             surfs_T = jnp.ones_like(T)
             bg_T = T[:, -1]
