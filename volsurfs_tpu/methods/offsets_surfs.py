@@ -258,15 +258,27 @@ class OffsetsSurfs:
 
     def _avg_cdf(self, samples, sdfs, beta_value):
         """Average of the per-surface normalized-weight CDFs
-        (reference sdfs_utils.py:12-67)."""
-        agg = jnp.zeros_like(samples.z)
-        for surf_idx in range(self.nr_surfs):
-            alpha = VR.sdf2alpha(samples, sdfs[..., surf_idx], beta_value)
-            w, _, _ = VR.neus_weights(samples, alpha)
-            _, w_sum = VR.sum_over_rays(w, samples.mask)
-            w = w / jnp.clip(w_sum, 1e-6)
-            agg = agg + VR.compute_cdf(w, samples.mask)
-        return agg / self.nr_surfs
+        (reference sdfs_utils.py:12-67). All surfaces share ONE batched
+        [K*R, S] transmittance/CDF scan — separate per-surface scans get
+        pattern-matched by XLA into an interleaved reduce-window that trips
+        a TPU fusion-emitter CHECK (see render_rays)."""
+        K = self.nr_surfs
+        R, S = samples.mask.shape
+        alphas = [
+            VR.sdf2alpha(samples, sdfs[..., surf_idx], beta_value)
+            for surf_idx in range(K)
+        ]
+        alpha_all = jnp.stack(alphas, axis=0).reshape(K * R, S)
+        mask_all = jnp.tile(samples.mask, (K, 1))
+        alpha_all = jnp.where(mask_all, alpha_all, 0.0)
+        trans_all, _ = VR.cumprod_one_minus_alpha_to_transmittance(
+            (1.0 - alpha_all) + 1e-6, mask_all
+        )
+        w = alpha_all * trans_all
+        w_sum = jnp.sum(jnp.where(mask_all, w, 0.0), axis=1, keepdims=True)
+        w = w / jnp.clip(w_sum, 1e-6)
+        cdf_all = VR.compute_cdf(w, mask_all).reshape(K, R, S)
+        return jnp.sum(cdf_all, axis=0) / K
 
     def _sample_rays(self, params, grid, rays_o, rays_d, t_near, t_far, iter_nr, key,
                      jitter, train_main, train_offsets):
@@ -336,8 +348,8 @@ class OffsetsSurfs:
         )
         surfs_normals_s = safe_normalize(surfs_grad)
 
-        surfs_rgb, surfs_alpha = [], []
-        surfs_normals, surfs_depths, surfs_weight_sum = [], [], []
+        # per-surface appearance + NeuS alphas (no scans inside the loop)
+        per_rgb_s, per_transp_s, per_alpha_s = [], [], []
         for surf_idx in range(self.nr_surfs):
             normals_s = surfs_normals_s[..., surf_idx, :]
             rgb_s = self._rgb_fn(
@@ -354,14 +366,37 @@ class OffsetsSurfs:
                 )
                 decay = jax.nn.sigmoid(decay_factor * dot) * 2.0 - 1.0
                 transparency_s = transparency_s * jax.lax.stop_gradient(decay)
-
-            alpha_s = VR.neus_alpha_from_sdf_gradients(
+            per_rgb_s.append(rgb_s)
+            per_transp_s.append(transparency_s)
+            per_alpha_s.append(VR.neus_alpha_from_sdf_gradients(
                 samples, sdfs[..., surf_idx, 0], surfs_grad[..., surf_idx, :],
                 cos_anneal, beta,
+            ))
+
+        # ONE batched transmittance scan for all surfaces, [K*R, S]: five
+        # separate per-surface scans get pattern-matched by XLA into an
+        # interleaved reduce-window that trips the TPU fusion-emitter CHECK
+        # (window_bounds != strides); batching over the major axis keeps a
+        # single stride-1 scan (and is faster anyway)
+        K = self.nr_surfs
+        R, S = samples.mask.shape
+        alpha_all = jnp.stack(per_alpha_s, axis=0).reshape(K * R, S)
+        mask_all = jnp.tile(samples.mask, (K, 1))
+        alpha_all = jnp.where(mask_all, alpha_all, 0.0)
+        trans_all, _ = VR.cumprod_one_minus_alpha_to_transmittance(
+            (1.0 - alpha_all) + 1e-6, mask_all
+        )
+        w_all = (alpha_all * trans_all).reshape(K, R, S)
+
+        surfs_rgb, surfs_alpha = [], []
+        surfs_normals, surfs_depths, surfs_weight_sum = [], [], []
+        for surf_idx in range(self.nr_surfs):
+            normals_s = surfs_normals_s[..., surf_idx, :]
+            w_s = w_all[surf_idx]
+            surfs_rgb.append(VR.integrate(per_rgb_s[surf_idx], w_s, samples.mask))
+            surfs_alpha.append(
+                VR.integrate(per_transp_s[surf_idx], w_s, samples.mask)
             )
-            w_s, _, _ = VR.neus_weights(samples, alpha_s)
-            surfs_rgb.append(VR.integrate(rgb_s, w_s, samples.mask))
-            surfs_alpha.append(VR.integrate(transparency_s, w_s, samples.mask))
             surfs_normals.append(
                 jax.lax.stop_gradient(VR.integrate(normals_s, w_s, samples.mask))
             )
