@@ -157,3 +157,20 @@ def test_sg_encoder_peak_at_lobe_axis():
     out = enc.apply({}, dirs)
     assert out.shape == (2, 8)
     assert float(out.max()) <= 1.0 + 1e-6 and float(out.min()) >= 0.0
+
+
+def test_lpips_rf_perceptual_metric():
+    """lpips_rf: 0 on identical images, monotonic in distortion,
+    deterministic across calls."""
+    import numpy as np
+
+    from volsurfs_tpu.utils.evaluation import lpips_rf
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(size=(64, 64, 3))
+    assert lpips_rf(img, img) == 0.0
+    small = np.clip(img + rng.normal(scale=0.02, size=img.shape), 0, 1)
+    big = np.clip(img + rng.normal(scale=0.2, size=img.shape), 0, 1)
+    d_small, d_big = lpips_rf(img, small), lpips_rf(img, big)
+    assert 0 < d_small < d_big
+    assert lpips_rf(img, small) == d_small  # deterministic

@@ -220,3 +220,17 @@ def test_gradients_through_full_neus_chain():
     g = jax.grad(loss_fn)(jnp.zeros((4, 48)))
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.sum(jnp.abs(g))) > 0.0
+
+
+def test_combine_dedup_keep_chain_semantics():
+    """Dedup measures distance from the last KEPT sample, not the immediate
+    predecessor (reference VolumeRenderingGPU.cuh:681-895 sequential merge):
+    in a chain a, a+0.6d, a+1.2d the middle sample drops but the third is
+    1.2d from the kept first sample and must survive."""
+    d = 1e-2
+    a = make_samples([[0.1, 0.1 + 0.6 * d]], t_far=1.0)
+    b = make_samples([[0.1 + 1.2 * d, 0.5]], t_far=1.0)
+    merged, _ = S.combine(a, b, d)
+    z = np.asarray(merged.z)[0]
+    m = np.asarray(merged.mask)[0]
+    np.testing.assert_allclose(z[m], [0.1, 0.1 + 1.2 * d, 0.5], atol=1e-7)

@@ -282,10 +282,12 @@ def main():
         mesh_files = sorted(
             f for f in os.listdir(meshes_dir) if f.endswith(".obj")
         )
+        # same shell subsetting as training (reference mesh_loaders.py:34-90)
+        if getattr(hp, "meshes_indices", None):
+            mesh_files = [mesh_files[int(i)] for i in sorted(hp.meshes_indices)]
         method_kwargs["meshes"] = [
             mesh_io.load_obj(os.path.join(meshes_dir, f)) for f in mesh_files
         ]
-        method_kwargs["bounding_primitive"] = bounding
     method = make_method(
         args.method, hp, bounding, mv_data.bg_color or data_params.bg_color,
         args.occupancy_res, jax.random.PRNGKey(args.seed), **method_kwargs,
@@ -340,6 +342,20 @@ def main():
 
     if args.extract_textures:
         assert args.method == "volsurfs", "--extract_textures requires volsurfs"
+        # scene.json references meshes/ relative to the run dir; when the
+        # shells were loaded from another stage's directory, copy them in
+        # (reference volsurfs.py:79-101 copies meshes into the run dir)
+        local_meshes = os.path.join(run_dir, "meshes")
+        if args.meshes_path and os.path.abspath(args.meshes_path) != \
+                os.path.abspath(local_meshes):
+            os.makedirs(local_meshes, exist_ok=True)
+            import shutil
+
+            # mesh_files is the (possibly meshes_indices-subset) selection in
+            # method order; renumber 0..k-1 to match scene.json mesh_path
+            for i, f in enumerate(mesh_files):
+                shutil.copy(os.path.join(args.meshes_path, f),
+                            os.path.join(local_meshes, f"{i}.obj"))
         meshes_info = bake_textures(method, state, run_dir)
         scene_path = export_scene_json(
             run_dir, meshes_info, mv_data,

@@ -538,8 +538,89 @@ class Surf:
         jitted = self._get_jitted("update_occupancy", update_fn)
         return jitted(state)
 
-    def make_render_fn(self, chunk_size: int = 4096):
-        """Jitted eval-mode ray renderer for full-frame rendering."""
+    def render_rays_sphere_traced(
+        self,
+        params,
+        grid,
+        rays_o,
+        rays_d,
+        iter_nr,
+        max_st_steps: int = 100,
+        converged_dist_tresh: float = 1e-3,
+    ):
+        """Test-time surface rendering by sphere tracing the SDF
+        (reference surf.py:551-647 render_fg_sphere_traced + the
+        render_sphere_traced eval toggle at :721-761).
+
+        One SDF eval per trace step on all rays in lockstep, then a single
+        shade at the converged hit points — no per-sample integration, so
+        eval frames cost ~max_st_steps SDF evals instead of
+        samples_per_ray SDF+RGB evals."""
+        from volsurfs_tpu.ops.sphere_tracing import sphere_trace
+
+        raycast = RC.intersect_bounding_primitive(
+            self.bounding_primitive, rays_o, rays_d
+        )
+        trace = sphere_trace(
+            lambda p: self._sdf_fn(params, p, iter_nr),
+            rays_o,
+            rays_d,
+            self.bounding_primitive,
+            nr_sphere_traces=max_st_steps,
+            sdf_converged_tresh=converged_dist_tresh,
+        )
+        hit = trace["is_hit"][:, None]
+        pos = trace["positions"]
+
+        # shade at the hit points (misses shade too — lockstep — and are
+        # masked out of the composite)
+        _, geom_feat, grad = self._sdf_with_grad(params, pos, iter_nr)
+        normals = safe_normalize(grad)
+        rgb_surf = self._rgb_fn(params, pos, rays_d, normals, geom_feat, iter_nr)
+
+        weights_sum = hit.astype(jnp.float32)
+        bg_transmittance = 1.0 - weights_sum
+        if self.bg_model is None:
+            rgb_bg = jnp.broadcast_to(self.bg_color, rgb_surf.shape)
+            depth_bg = raycast["t_far"]
+        else:
+            bg_res = render_contracted_bg(
+                lambda p, d, i: self.bg_model.apply(params["bg"], p, d, i),
+                raycast, self.hp.nr_samples_bg, None, iter_nr,
+            )
+            rgb_bg = bg_res["pred_rgb"]
+            depth_bg = bg_res["median_depth"]
+
+        rgb = jnp.where(hit, rgb_surf, rgb_bg)
+        depth = jnp.where(hit, trace["z"], depth_bg)
+        return {
+            "rgb": rgb,
+            "rgb_fg": jnp.where(hit, rgb_surf, 0.0),
+            "depth": depth,
+            "normals": jnp.where(hit, normals, 0.0),
+            "weights_sum": weights_sum,
+            "bg_transmittance": bg_transmittance,
+        }
+
+    def make_render_fn(self, chunk_size: int = 4096, sphere_traced: bool = False):
+        """Jitted eval-mode ray renderer for full-frame rendering.
+
+        ``sphere_traced=True`` switches to the fast surface path (reference
+        render_sphere_traced toggle, surf.py:721-761)."""
+        if sphere_traced:
+
+            def render_st(params, grid, rays_o, rays_d, iter_nr):
+                res = self.render_rays_sphere_traced(
+                    params, grid, rays_o, rays_d, iter_nr
+                )
+                return {
+                    "rgb": res["rgb"],
+                    "depth": res["depth"],
+                    "normals": res["normals"],
+                    "weights_sum": res["weights_sum"],
+                }
+
+            return self._get_jitted("render_sphere_traced", render_st)
 
         def render(params, grid, rays_o, rays_d, iter_nr):
             res = self.render_rays(params, grid, rays_o, rays_d, iter_nr, None, False)

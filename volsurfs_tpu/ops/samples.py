@@ -180,16 +180,23 @@ def combine(
         values = jnp.concatenate([values_a, values_b], axis=1)
         values = jnp.take_along_axis(values, order[..., None], axis=1)
 
-    # dedup: drop a sample if it is within min_dist of the previous kept one.
-    # Single-pass approximation of the reference's sequential merge-dedup:
-    # compare against the immediate predecessor (chains of near-coincident
-    # samples are rare at min_dist=1e-4).
-    prev_z = jnp.concatenate([jnp.full_like(z[:, :1], -1e10), z[:, :-1]], axis=1)
-    prev_valid = jnp.concatenate(
-        [jnp.zeros_like(mask[:, :1]), mask[:, :-1]], axis=1
+    # dedup: drop a sample closer than min_dist to the previously KEPT one —
+    # the reference's sequential keep-chain semantics
+    # (VolumeRenderingGPU.cuh:681-895). The recurrence (last-kept z) is
+    # inherently sequential, so it runs as a lax.scan over the static sample
+    # axis with an [R] carry: S is ~100, each step is a trivial elementwise
+    # op, so the scan costs ~nothing next to the field evaluations.
+    def dedup_step(last_kept_z, zi_mi):
+        z_i, m_i = zi_mi
+        keep = m_i & ((z_i - last_kept_z) >= min_dist_between_samples)
+        return jnp.where(keep, z_i, last_kept_z), keep
+
+    _, keeps = jax.lax.scan(
+        dedup_step,
+        jnp.full(z.shape[:1], -1e10, z.dtype),
+        (z.T, mask.T),
     )
-    too_close = prev_valid & ((z - prev_z) < min_dist_between_samples)
-    mask = mask & ~too_close
+    mask = keeps.T
 
     # restore contiguous-prefix invariant
     z = jnp.where(mask, z, INVALID_Z)

@@ -99,8 +99,16 @@ def load_checkpoint(ckpt_dir: str, state, iter_nr: int | None = None):
     )
 
 
-def load_model_params(path: str, template):
+def load_model_params(path: str, template=None):
     """Load a single model's params file (cross-stage transfer, e.g.
-    offsets_surfs <- surf sdf; reference offsets_surfs.py:248-261)."""
+    offsets_surfs <- surf sdf; reference offsets_surfs.py:248-261).
+
+    With ``template=None`` the raw nested dict is restored without shape
+    validation — needed when the receiving method has a different params
+    layout than the producing one (offsets_surfs has no ``sdf`` key to use
+    as a template for surf's ``sdf.msgpack``)."""
     with open(path, "rb") as f:
-        return serialization.from_bytes(template, f.read())
+        data = f.read()
+    if template is None:
+        return serialization.msgpack_restore(data)
+    return serialization.from_bytes(template, data)

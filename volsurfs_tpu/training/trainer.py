@@ -50,7 +50,8 @@ def make_method(method_name, hp, bounding_primitive, bg_color, occupancy_res, ke
     if method_name == "volsurfs":
         from volsurfs_tpu.methods.volsurfs import VolSurfs
 
-        return VolSurfs(hp, bg_color=bg_color, key=key, **method_kwargs)
+        return VolSurfs(hp, bg_color=bg_color, key=key,
+                        bounding_primitive=bounding_primitive, **method_kwargs)
     raise ValueError(f"unknown method {method_name}")
 
 
@@ -408,10 +409,13 @@ def main():
         mesh_files = sorted(
             f for f in os.listdir(args.meshes_path) if f.endswith(".obj")
         )
+        # hp.meshes_indices selects a subset of the sorted shells (reference
+        # hyper_params.py:386-411 -> utils/mesh_loaders.py:34-90)
+        if getattr(hp, "meshes_indices", None):
+            mesh_files = [mesh_files[int(i)] for i in sorted(hp.meshes_indices)]
         method_kwargs["meshes"] = [
             load_obj(os.path.join(args.meshes_path, f)) for f in mesh_files
         ]
-        method_kwargs["bounding_primitive"] = bounding
     method = make_method(
         args.method, hp, bounding, mv_data.bg_color or data_params.bg_color,
         args.occupancy_res, jax.random.PRNGKey(args.seed), **method_kwargs,
@@ -422,9 +426,10 @@ def main():
     if args.models_path:
         sdf_path = os.path.join(args.models_path, "sdf.msgpack")
         if args.method == "offsets_surfs" and os.path.exists(sdf_path):
-            surf_sdf = checkpoints.load_model_params(
-                sdf_path, state.params["sdf"]
-            )
+            # no template: offsets_surfs' params have no "sdf" key (its keys
+            # are sdfs/rgb_*/alpha_*/bg) — restore the raw surf-SDF dict and
+            # let load_main_sdf map encoder + main head into the shared trunk
+            surf_sdf = checkpoints.load_model_params(sdf_path)
             state = method.load_main_sdf(state, surf_sdf)
         bg_path = os.path.join(args.models_path, "bg.msgpack")
         if "bg" in state.params and os.path.exists(bg_path):

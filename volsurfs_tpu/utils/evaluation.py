@@ -1,10 +1,17 @@
-"""Image metrics (PSNR / SSIM) and split evaluation.
+"""Image metrics (PSNR / SSIM / perceptual) and split evaluation.
 
 Replaces the reference's piq-based evaluator
 (volsurfs_py/utils/evaluation.py:16-348). PSNR and SSIM are implemented
-directly (SSIM: standard 11x11 Gaussian-window formulation). LPIPS requires
-pretrained VGG weights, which this offline environment cannot download; the
-hook is kept and returns NaN when the backbone is unavailable.
+directly (SSIM: standard 11x11 Gaussian-window formulation).
+
+True LPIPS requires pretrained VGG weights which this offline environment
+cannot obtain, so the perceptual column is ``lpips_rf``: an LPIPS-shaped
+distance over a fixed-seed *random* multi-scale conv feature stack
+(normalize -> conv/ReLU x2 -> channel-unit-normalize -> squared diff,
+averaged over scales). Untrained conv features are a known reasonable proxy
+for perceptual similarity; the value is deterministic and comparable across
+runs of this framework, but is NOT calibrated against published LPIPS
+numbers — hence the distinct column name.
 """
 
 from __future__ import annotations
@@ -59,9 +66,62 @@ def ssim(gt: np.ndarray, pred: np.ndarray, max_val: float = 1.0) -> float:
     return float(np.mean(num / den))
 
 
-def lpips(gt: np.ndarray, pred: np.ndarray) -> float:
-    """LPIPS hook — pretrained backbone unavailable offline; returns NaN."""
-    return float("nan")
+_RF_FILTERS = None
+
+
+def _rf_filters():
+    """Fixed-seed random conv stacks: per scale, two 3x3 conv layers
+    (3->24->24 channels), filters unit-normalized."""
+    global _RF_FILTERS
+    if _RF_FILTERS is None:
+        rng = np.random.default_rng(12345)
+
+        def make(c_in, c_out):
+            f = rng.normal(size=(c_out, 3, 3, c_in))
+            return (f / np.linalg.norm(f.reshape(c_out, -1), axis=1)
+                    .reshape(-1, 1, 1, 1)).astype(np.float64)
+
+        _RF_FILTERS = (make(3, 24), make(24, 24))
+    return _RF_FILTERS
+
+
+def _conv_relu(img: np.ndarray, filters: np.ndarray) -> np.ndarray:
+    """valid-mode conv + ReLU; img [H, W, C], filters [K, kh, kw, C]."""
+    kh, kw = filters.shape[1:3]
+    h, w = img.shape[:2]
+    strides = img.strides[:2] + img.strides[:2] + img.strides[2:]
+    shape = (h - kh + 1, w - kw + 1, kh, kw, img.shape[2])
+    windows = np.lib.stride_tricks.as_strided(img, shape=shape, strides=strides)
+    return np.maximum(np.einsum("ijklc,nklc->ijn", windows, filters), 0.0)
+
+
+def _downsample2(img: np.ndarray) -> np.ndarray:
+    h, w = img.shape[:2]
+    return img[: h // 2 * 2, : w // 2 * 2].reshape(
+        h // 2, 2, w // 2, 2, -1
+    ).mean((1, 3))
+
+
+def lpips_rf(gt: np.ndarray, pred: np.ndarray) -> float:
+    """Random-feature perceptual distance (see module docstring). Inputs
+    [H, W, 3] in [0, 1]. Lower is more similar; identical images give 0."""
+    f1, f2 = _rf_filters()
+    dist = 0.0
+    nr_scales = 0
+    a = gt.astype(np.float64) * 2.0 - 1.0
+    b = pred.astype(np.float64) * 2.0 - 1.0
+    for _ in range(3):
+        if min(a.shape[:2]) < 8:
+            break
+        fa = _conv_relu(_conv_relu(a, f1), f2)
+        fb = _conv_relu(_conv_relu(b, f1), f2)
+        # channel-unit-normalize per pixel (LPIPS's feature normalization)
+        fa = fa / (np.linalg.norm(fa, axis=-1, keepdims=True) + 1e-10)
+        fb = fb / (np.linalg.norm(fb, axis=-1, keepdims=True) + 1e-10)
+        dist += float(np.mean(np.sum((fa - fb) ** 2, axis=-1)))
+        nr_scales += 1
+        a, b = _downsample2(a), _downsample2(b)
+    return dist / max(nr_scales, 1)
 
 
 def eval_rendered_imgs(renders_dir: str, gt_dir: str, split_name: str = "test"):
@@ -125,23 +185,27 @@ class PerSceneEvaluator:
                 "id": image_id,
                 "psnr": psnr(gt, pred),
                 "ssim": ssim(gt, pred),
-                "lpips": lpips(gt, pred),
+                "lpips_rf": lpips_rf(gt, pred),
             }
         )
 
     def means(self) -> dict:
         if not self.rows:
-            return {"psnr": float("nan"), "ssim": float("nan"), "lpips": float("nan")}
+            return {
+                "psnr": float("nan"),
+                "ssim": float("nan"),
+                "lpips_rf": float("nan"),
+            }
         return {
             m: float(np.mean([r[m] for r in self.rows]))
-            for m in ("psnr", "ssim", "lpips")
+            for m in ("psnr", "ssim", "lpips_rf")
         }
 
     def save_csv(self, out_dir: str):
         os.makedirs(out_dir, exist_ok=True)
         path = os.path.join(out_dir, f"{self.split_name}.csv")
         with open(path, "w", newline="") as f:
-            writer = csv.DictWriter(f, fieldnames=["id", "psnr", "ssim", "lpips"])
+            writer = csv.DictWriter(f, fieldnames=["id", "psnr", "ssim", "lpips_rf"])
             writer.writeheader()
             for row in self.rows:
                 writer.writerow(row)
