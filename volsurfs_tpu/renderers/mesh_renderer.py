@@ -338,6 +338,10 @@ class BakedMeshRenderer:
         R = dirs.shape[0]
         uv_all = jnp.stack(uv_list)  # [M, N, 2]
         coeffs_all = self._sample_bands_fused(scene, uv_all)
+        # NOTE: per-mesh SH/sigmoid chains measure FASTER than one stacked
+        # [M*N] chain (XLA pipelines the independent per-mesh graphs; the
+        # stacked form adds reshape/transpose materializations) — see
+        # RESULTS.md round-2 "batching dead ends".
         rgbs, alphas = [], []
         for i in range(len(scene["meshes"])):
             is_hit = hit_list[i][:, None]
@@ -398,25 +402,34 @@ class BakedMeshRenderer:
             intrinsics, c2w, width, height, tile_h=bh, tile_w=bw
         )
         overflow = jnp.zeros((), jnp.int32)
-        cand_list = []
-        for i, mesh in enumerate(scene["meshes"]):
-            if (bh, bw) == (raster.TILE_H, raster.TILE_W):
-                # fine tiles: candidates concentrate (scan ~ tiles x K drops
-                # ~3x) and block compaction quantizes tighter; the 2-level
-                # binner keeps the [tiles, faces] top_k affordable
+        if (bh, bw) == (raster.TILE_H, raster.TILE_W):
+            # fine tiles: candidates concentrate (scan ~ tiles x K drops
+            # ~3x) and block compaction quantizes tighter; the 2-level
+            # binner keeps the [tiles, faces] top_k affordable
+            cand_list = []
+            for i, mesh in enumerate(scene["meshes"]):
                 cand, ovf = raster.bin_triangles_2level(
                     mesh.verts, mesh.faces, intrinsics, w2c, width, height,
                     nr_cand,
                     cull_sign=self._cull_signs[i] if use_cull else 0,
                 )
-            else:
+                overflow = overflow + jnp.sum(ovf)
+                cand_list.append(cand)
+        else:
+            # NOTE: binning all meshes in one stacked pass (padded faces +
+            # one [M, T, F] overlap + one top_k) was measured SLOWER than
+            # these per-mesh calls (6.70 vs 7.85 Mrays/s end to end): XLA
+            # pipelines the independent per-mesh graphs, and the stacked
+            # form adds padding flops + materializations. See RESULTS.md.
+            cand_list = []
+            for i, mesh in enumerate(scene["meshes"]):
                 cand, ovf = raster.bin_triangles(
                     mesh.verts, mesh.faces, intrinsics, w2c, width, height,
                     nr_cand, tile_h=bh, tile_w=bw,
                     cull_sign=self._cull_signs[i] if use_cull else 0,
                 )
-            overflow = overflow + jnp.sum(ovf)
-            cand_list.append(cand)
+                overflow = overflow + jnp.sum(ovf)
+                cand_list.append(cand)
 
         T = cand_list[0].shape[0]
         blk_overflow = jnp.zeros((), jnp.int32)
@@ -440,15 +453,32 @@ class BakedMeshRenderer:
                 for cand in cand_list
             ]
 
-        uv_list, hit_list = [], []
-        for i in range(len(scene["meshes"])):
-            tables = scene["raster_tables"][i]
-            is_hit, t, u, v, f = raster.raster_mesh(
-                tables, cand_list[i], dirs, origin
+        # all meshes' (tile, candidate) workloads stacked into ONE scan: the
+        # per-mesh scans are overhead-bound (fixed per-step cost, small
+        # tensors), so k-times-fuller lanes cut the candidate-test stage
+        # nearly k-fold (see raster.raster_meshes_batched)
+        M = len(scene["meshes"])
+        tri_parts, cand_parts = [], []
+        for i in range(M):
+            tri_i, cand_i = raster.gather_tri_data(
+                scene["raster_tables"][i], cand_list[i]
             )
-            uv = raster.interp_uv(tables, f, u, v)
+            tri_parts.append(tri_i)
+            cand_parts.append(cand_i)
+        Tb = cand_parts[0].shape[0]
+        dirs_all = tuple(jnp.tile(d, (M, 1)) for d in dirs)
+        is_hit, t, u, v, f = raster.raster_meshes_batched(
+            jnp.concatenate(tri_parts, 0),
+            jnp.concatenate(cand_parts, 0),
+            dirs_all,
+            origin,
+        )
+        uv_list, hit_list = [], []
+        for i in range(M):
+            sl = slice(i * Tb, (i + 1) * Tb)
+            uv = raster.interp_uv(scene["raster_tables"][i], f[sl], u[sl], v[sl])
             uv_list.append(uv.reshape(-1, 2))
-            hit_list.append(is_hit.reshape(-1))
+            hit_list.append(is_hit[sl].reshape(-1))
         dirs_flat = jnp.stack([d.reshape(-1) for d in dirs], axis=-1)
         out = self._shade(scene, uv_list, hit_list, dirs_flat)
         rgb_tiles = out["rgb"].reshape(dirs[0].shape[0], bh * bw, 3)
