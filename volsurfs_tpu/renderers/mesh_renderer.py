@@ -258,108 +258,99 @@ class BakedMeshRenderer:
 
     # ---- core ----------------------------------------------------------------
 
-    def _sample_bands_fused(self, scene, uv_all):
-        """Bilinear SH-coefficient sampling from the block-packed band
-        tables: ONE gathered row per (pixel, mesh, band) carries the whole
-        footprint (make_band_table), and the per-pixel footprint reduction
-        is lane-dense 2-D math + one small matmul.
-        uv_all [M, N, 2] -> [M, N, 4, total_coeffs]."""
-        M, N, _ = uv_all.shape
+    def _sample_bands_mesh(self, scene, m, u, v):
+        """Bilinear SH-coefficient sampling for ONE mesh from its
+        block-packed band tables: ONE gathered row per (pixel, band) carries
+        the whole footprint (make_band_table), and the per-pixel footprint
+        reduction is lane-dense 2-D math + one small matmul.
+        u, v [N] -> [N, 4, total_coeffs]."""
+        N = u.shape[0]
         one = jnp.float16(1.0)
-        per_mesh = []
-        for m in range(M):
-            u = uv_all[m, :, 0]
-            v = uv_all[m, :, 1]
-            bands = []
-            for deg, mb in enumerate(self.pack_meta[m]):
-                table = scene["pack_tex"][m][deg]
-                Hd, Wd = mb["res"]
-                b = mb["block"]
-                C = mb["channels"]
-                s = b + 1
+        bands = []
+        for deg, mb in enumerate(self.pack_meta[m]):
+            table = scene["pack_tex"][m][deg]
+            Hd, Wd = mb["res"]
+            b = mb["block"]
+            C = mb["channels"]
+            s = b + 1
 
-                x = u * Wd - 0.5
-                y = (1.0 - v) * Hd - 0.5
-                x0 = jnp.floor(x)
-                y0 = jnp.floor(y)
-                # negative-side clamp: both corners collapse onto texel 0,
-                # so move all weight to the left corner (exact equivalent of
-                # clamping each corner index separately); the positive side
-                # is exact because regions store clamped edge duplicates.
-                fx = jnp.where(x0 < 0, 0.0, x - x0).astype(jnp.float16)
-                fy = jnp.where(y0 < 0, 0.0, y - y0).astype(jnp.float16)
-                x0c = jnp.clip(x0, 0, Wd - 1).astype(jnp.int32)
-                y0c = jnp.clip(y0, 0, Hd - 1).astype(jnp.int32)
-                Bx = x0c // b
-                By = y0c // b
-                rows = table[By * (Wd // b) + Bx]  # [N, C*s*s] uint8
-                lx = x0c - Bx * b  # in [0, b-1]; corners lx, lx+1 <= b
-                ly = y0c - By * b
+            x = u * Wd - 0.5
+            y = (1.0 - v) * Hd - 0.5
+            x0 = jnp.floor(x)
+            y0 = jnp.floor(y)
+            # negative-side clamp: both corners collapse onto texel 0,
+            # so move all weight to the left corner (exact equivalent of
+            # clamping each corner index separately); the positive side
+            # is exact because regions store clamped edge duplicates.
+            fx = jnp.where(x0 < 0, 0.0, x - x0).astype(jnp.float16)
+            fy = jnp.where(y0 < 0, 0.0, y - y0).astype(jnp.float16)
+            x0c = jnp.clip(x0, 0, Wd - 1).astype(jnp.int32)
+            y0c = jnp.clip(y0, 0, Hd - 1).astype(jnp.int32)
+            Bx = x0c // b
+            By = y0c // b
+            rows = table[By * (Wd // b) + Bx]  # [N, C*s*s] uint8
+            lx = x0c - Bx * b  # in [0, b-1]; corners lx, lx+1 <= b
+            ly = y0c - By * b
 
-                # per-column footprint weights, [N]-shaped fp16 throughout
-                # (w_rx = (1-fx) at rx==lx, fx at rx==lx+1, else 0)
-                wx = [
-                    jnp.where(lx == rx, one - fx, 0.0)
-                    + jnp.where(lx == rx - 1, fx, 0.0)
-                    for rx in range(s)
-                ]
-                wy = [
-                    jnp.where(ly == ry, one - fy, 0.0)
-                    + jnp.where(ly == ry - 1, fy, 0.0)
-                    for ry in range(s)
-                ]
-                w = jnp.stack(
-                    [wy[ry] * wx[rx] for ry in range(s) for rx in range(s)],
-                    axis=-1,
-                )  # [N, s*s]
-                wtile = jnp.concatenate([w] * C, axis=-1)  # [N, C*s*s]
-                prod = rows.astype(jnp.float16) * wtile
-                # sum each channel's s*s group: one-hot matmul keeps the
-                # reduction on the MXU (f32 accumulate) instead of a
-                # tiny-trailing-dim reduce
-                M_red = jnp.asarray(
-                    np.kron(np.eye(C, dtype=np.float16), np.ones((s * s, 1), np.float16))
-                )
-                sampled = jnp.dot(
-                    prod, M_red, preferred_element_type=jnp.float32
-                ).astype(jnp.float16)  # [N, C]
-                lo, hi = self.tex_scales[m][deg]
-                sampled = jnp.asarray(lo, jnp.float16) + (
-                    jnp.asarray((hi - lo) / 255.0, jnp.float16) * sampled
-                )
-                bands.append(sampled.reshape(N, 4, C // 4))
-            per_mesh.append(jnp.concatenate(bands, axis=-1))
-        return jnp.stack(per_mesh)
+            # per-column footprint weights, [N]-shaped fp16 throughout
+            # (w_rx = (1-fx) at rx==lx, fx at rx==lx+1, else 0)
+            wx = [
+                jnp.where(lx == rx, one - fx, 0.0)
+                + jnp.where(lx == rx - 1, fx, 0.0)
+                for rx in range(s)
+            ]
+            wy = [
+                jnp.where(ly == ry, one - fy, 0.0)
+                + jnp.where(ly == ry - 1, fy, 0.0)
+                for ry in range(s)
+            ]
+            w = jnp.stack(
+                [wy[ry] * wx[rx] for ry in range(s) for rx in range(s)],
+                axis=-1,
+            )  # [N, s*s]
+            wtile = jnp.concatenate([w] * C, axis=-1)  # [N, C*s*s]
+            prod = rows.astype(jnp.float16) * wtile
+            # sum each channel's s*s group: one-hot matmul keeps the
+            # reduction on the MXU (f32 accumulate) instead of a
+            # tiny-trailing-dim reduce
+            M_red = jnp.asarray(
+                np.kron(np.eye(C, dtype=np.float16), np.ones((s * s, 1), np.float16))
+            )
+            sampled = jnp.dot(
+                prod, M_red, preferred_element_type=jnp.float32
+            ).astype(jnp.float16)  # [N, C]
+            lo, hi = self.tex_scales[m][deg]
+            sampled = jnp.asarray(lo, jnp.float16) + (
+                jnp.asarray((hi - lo) / 255.0, jnp.float16) * sampled
+            )
+            bands.append(sampled.reshape(N, 4, C // 4))
+        return jnp.concatenate(bands, axis=-1)
 
-    def _shade(self, scene, uv_list, hit_list, dirs):
-        """Texture lookup + SH eval + fp16 outer->inner compositing, shared
-        by the ray-traced and rasterized paths (reference
-        mesh_renderer.py:64-120 shade + volsurfs.py:602-640 blending)."""
-        R = dirs.shape[0]
-        uv_all = jnp.stack(uv_list)  # [M, N, 2]
-        coeffs_all = self._sample_bands_fused(scene, uv_all)
-        # NOTE: per-mesh SH/sigmoid chains measure FASTER than one stacked
-        # [M*N] chain (XLA pipelines the independent per-mesh graphs; the
-        # stacked form adds reshape/transpose materializations) — see
-        # RESULTS.md round-2 "batching dead ends".
-        rgbs, alphas = [], []
-        for i in range(len(scene["meshes"])):
-            is_hit = hit_list[i][:, None]
-            coeffs = coeffs_all[i]
-            vals = sh_eval(coeffs, dirs.astype(jnp.float16), self.sh_degree)
-            vals = jax.nn.sigmoid(vals.astype(jnp.float32))
-            rgb = vals[:, :3]
-            if self.ignore_alpha[i]:
-                alpha = jnp.ones((R, 1))
-            else:
-                alpha = vals[:, 3:4]
-            rgbs.append(jnp.where(is_hit, rgb, 0.0))
-            alphas.append(jnp.where(is_hit, alpha, 0.0))
+    def _shade_mesh(self, scene, i, uv, hit, dirs):
+        """Texture lookup + SH eval + sigmoid for ONE mesh on its own pixel
+        set (reference mesh_renderer.py:64-120 shade). uv [N, 2], hit [N],
+        dirs [N, 3] -> (rgb [N, 3] f16, alpha [N, 1] f16), zero off-hit."""
+        N = uv.shape[0]
+        coeffs = self._sample_bands_mesh(scene, i, uv[:, 0], uv[:, 1])
+        vals = sh_eval(coeffs, dirs.astype(jnp.float16), self.sh_degree)
+        vals = jax.nn.sigmoid(vals.astype(jnp.float32))
+        rgb = vals[:, :3]
+        if self.ignore_alpha[i]:
+            alpha = jnp.ones((N, 1))
+        else:
+            alpha = vals[:, 3:4]
+        is_hit = hit[:, None]
+        return (
+            jnp.where(is_hit, rgb, 0.0).astype(jnp.float16),
+            jnp.where(is_hit, alpha, 0.0).astype(jnp.float16),
+        )
 
-        surfs_rgb = jnp.stack(rgbs, axis=1)
-        surfs_alpha = jnp.stack(alphas, axis=1)
-        rgb_o2i = jnp.flip(surfs_rgb, axis=1).astype(jnp.float16)
-        alpha_o2i = jnp.flip(surfs_alpha, axis=1).astype(jnp.float16)
+    def _composite(self, surfs_rgb, surfs_alpha):
+        """fp16 outer->inner alpha compositing over the mesh axis (reference
+        volsurfs.py:602-640 blending). surfs_rgb [N, M, 3] f16 (mesh order =
+        scene order, innermost first), surfs_alpha [N, M, 1] f16."""
+        rgb_o2i = jnp.flip(surfs_rgb, axis=1)
+        alpha_o2i = jnp.flip(surfs_alpha, axis=1)
         T = small_cumprod(1.0 - alpha_o2i, axis=1)
         if len(self.meshes) == 1:
             surfs_T = jnp.ones_like(T)
@@ -374,26 +365,30 @@ class BakedMeshRenderer:
     def _render_rays(self, scene, rays_o, rays_d):
         # all k shells traced in one lockstep traversal
         hits_all = B.trace_all(scene["stacked_bvh"], rays_o, rays_d)
-        uv_list, hit_list = [], []
+        rgbs, alphas = [], []
         for i, mesh in enumerate(scene["meshes"]):
             uv = mesh.face_attr(
                 mesh.uvs, hits_all["triangles_id"][i], hits_all["barycentric"][i]
             )
-            uv_list.append(uv)
-            hit_list.append(hits_all["is_hit"][i])
-        return self._shade(scene, uv_list, hit_list, rays_d)
+            rgb, alpha = self._shade_mesh(
+                scene, i, uv, hits_all["is_hit"][i], rays_d
+            )
+            rgbs.append(rgb)
+            alphas.append(alpha)
+        return self._composite(jnp.stack(rgbs, 1), jnp.stack(alphas, 1))
 
     def _render_frame_tiles(self, scene, intrinsics, c2w, w2c, *, width,
                             height, nr_cand, use_cull=False, nr_blocks=0):
         """One whole frame via the tile-binned rasterizer (renderers/raster.py):
         dense per-tile candidate loops instead of per-ray BVH pointer chasing.
 
-        nr_blocks > 0 enables block compaction: only the `nr_blocks` screen
-        blocks that have at least one candidate triangle (union over meshes)
-        go through ray-triangle testing, texture filtering, SH shading and
-        compositing — the rest of the frame is pure background. Blocks with
-        candidates beyond the budget count into the block component of
-        `overflow` (the caller retries with a bigger budget).
+        nr_blocks enables PER-MESH block compaction (an int applies to every
+        mesh, a per-mesh tuple gives each shell its own budget, 0 disables):
+        each mesh ray-triangle tests, texture-filters and SH-shades only the
+        screen blocks its own candidate triangles touch; compositing runs on
+        the full tile grid from the scattered per-mesh f16 buffers. Blocks
+        beyond a budget count into the block component of `overflow` (the
+        caller retries uncompacted).
 
         Returns (img, overflow [2] int32: [candidate-list overflows,
         block-budget overflows]) so the retry can grow the right budget."""
@@ -432,32 +427,48 @@ class BakedMeshRenderer:
                 cand_list.append(cand)
 
         T = cand_list[0].shape[0]
+        P = bh * bw
+        M = len(scene["meshes"])
+        # PER-MESH block compaction: each shell raster-tests, texture-filters
+        # and shades only the screen blocks ITS OWN candidate triangles
+        # touch. Inner shells project far smaller than the union, so the
+        # shading volume drops ~sum(blocks_i)/M*union vs union compaction
+        # (which shaded every union block for every mesh).
+        if isinstance(nr_blocks, int):
+            nb_list = [nr_blocks] * M
+        else:
+            nb_list = list(nr_blocks)
         blk_overflow = jnp.zeros((), jnp.int32)
-        compact = 0 < nr_blocks < T
-        if compact:
-            # blocks worth shading: any mesh has any candidate triangle there
-            has = cand_list[0][:, 0] >= 0
-            for cand in cand_list[1:]:
-                has = has | (cand[:, 0] >= 0)
-            iota = jnp.arange(T, dtype=jnp.int32)
-            topv, _ = jax.lax.top_k(jnp.where(has, T - iota, 0), nr_blocks)
-            blk_valid = topv > 0
-            # ascending valid block ids; invalid slots park at row T which is
-            # sliced off after the scatter
-            blk = jnp.where(blk_valid, T - topv, T)
-            blk_overflow = (jnp.sum(has) > nr_blocks).astype(jnp.int32)
-            safe_blk = jnp.minimum(blk, T - 1)
-            dirs = tuple(d[safe_blk] for d in dirs)
-            cand_list = [
-                jnp.where(blk_valid[:, None], cand[safe_blk], -1)
-                for cand in cand_list
-            ]
+        iota = jnp.arange(T, dtype=jnp.int32)
+        blk_list, valid_list, dirs_list = [], [], []
+        for i in range(M):
+            nb = nb_list[i]
+            if 0 < nb < T:
+                has = cand_list[i][:, 0] >= 0
+                topv, _ = jax.lax.top_k(jnp.where(has, T - iota, 0), nb)
+                blk_valid = topv > 0
+                # ascending valid block ids; invalid slots park at row T,
+                # sliced off after the scatter
+                blk = jnp.where(blk_valid, T - topv, T)
+                blk_overflow = blk_overflow + (jnp.sum(has) > nb).astype(
+                    jnp.int32
+                )
+                safe = jnp.minimum(blk, T - 1)
+                dirs_list.append(tuple(d[safe] for d in dirs))
+                cand_list[i] = jnp.where(
+                    blk_valid[:, None], cand_list[i][safe], -1
+                )
+                blk_list.append(blk)
+                valid_list.append(blk_valid)
+            else:
+                dirs_list.append(dirs)
+                blk_list.append(iota)
+                valid_list.append(None)
 
         # all meshes' (tile, candidate) workloads stacked into ONE scan: the
         # per-mesh scans are overhead-bound (fixed per-step cost, small
         # tensors), so k-times-fuller lanes cut the candidate-test stage
         # nearly k-fold (see raster.raster_meshes_batched)
-        M = len(scene["meshes"])
         tri_parts, cand_parts = [], []
         for i in range(M):
             tri_i, cand_i = raster.gather_tri_data(
@@ -465,28 +476,47 @@ class BakedMeshRenderer:
             )
             tri_parts.append(tri_i)
             cand_parts.append(cand_i)
-        Tb = cand_parts[0].shape[0]
-        dirs_all = tuple(jnp.tile(d, (M, 1)) for d in dirs)
+        dirs_all = tuple(
+            jnp.concatenate([dl[c] for dl in dirs_list], 0) for c in range(3)
+        )
         is_hit, t, u, v, f = raster.raster_meshes_batched(
             jnp.concatenate(tri_parts, 0),
             jnp.concatenate(cand_parts, 0),
             dirs_all,
             origin,
         )
-        uv_list, hit_list = [], []
+        # per-mesh shading on its own block set, scattered back to the full
+        # tile grid (f16 rgb+alpha) for outer->inner compositing
+        off = 0
+        rgbs_full, alphas_full = [], []
         for i in range(M):
-            sl = slice(i * Tb, (i + 1) * Tb)
-            uv = raster.interp_uv(scene["raster_tables"][i], f[sl], u[sl], v[sl])
-            uv_list.append(uv.reshape(-1, 2))
-            hit_list.append(is_hit[sl].reshape(-1))
-        dirs_flat = jnp.stack([d.reshape(-1) for d in dirs], axis=-1)
-        out = self._shade(scene, uv_list, hit_list, dirs_flat)
-        rgb_tiles = out["rgb"].reshape(dirs[0].shape[0], bh * bw, 3)
-        if compact:
-            full = jnp.broadcast_to(
-                self.bg_color.astype(rgb_tiles.dtype), (T + 1, bh * bw, 3)
+            Ti = cand_parts[i].shape[0]
+            sl = slice(off, off + Ti)
+            off += Ti
+            uv = raster.interp_uv(
+                scene["raster_tables"][i], f[sl], u[sl], v[sl]
+            ).reshape(-1, 2)
+            dirs_i = jnp.stack(
+                [d.reshape(-1) for d in dirs_list[i]], axis=-1
             )
-            rgb_tiles = full.at[blk].set(rgb_tiles, indices_are_sorted=True)[:T]
+            rgb, alpha = self._shade_mesh(
+                scene, i, uv, is_hit[sl].reshape(-1), dirs_i
+            )
+            rgb = rgb.reshape(Ti, P, 3)
+            alpha = alpha.reshape(Ti, P, 1)
+            if valid_list[i] is not None:
+                rgb = jnp.zeros((T + 1, P, 3), jnp.float16).at[
+                    blk_list[i]
+                ].set(rgb, indices_are_sorted=True)[:T]
+                alpha = jnp.zeros((T + 1, P, 1), jnp.float16).at[
+                    blk_list[i]
+                ].set(alpha, indices_are_sorted=True)[:T]
+            rgbs_full.append(rgb.reshape(T * P, 3))
+            alphas_full.append(alpha.reshape(T * P, 1))
+        out = self._composite(
+            jnp.stack(rgbs_full, axis=1), jnp.stack(alphas_full, axis=1)
+        )
+        rgb_tiles = out["rgb"].reshape(T, P, 3)
         return (
             raster.tiles_to_image(rgb_tiles, width, height, tile_h=bh, tile_w=bw),
             jnp.stack([overflow, blk_overflow]),
@@ -511,13 +541,13 @@ class BakedMeshRenderer:
 
     def _count_blocks_scan(self, scene, intr_b, c2w_b, w2c_b, *, width,
                            height, use_cull=False):
-        """Over a camera batch: (max number of screen blocks with >= 1
-        candidate triangle, max per-block candidate count over meshes) —
-        binning counts only, no candidate lists, no shading."""
+        """Over a camera batch: (per-mesh max number of screen blocks with
+        >= 1 candidate triangle [M], max per-block candidate count over
+        meshes) — binning counts only, no candidate lists, no shading."""
 
         def one(_, cams):
             intr, c2w, w2c = cams
-            has = None
+            per_mesh = []
             maxc = jnp.zeros((), jnp.int32)
             for i, mesh in enumerate(scene["meshes"]):
                 counts = raster.bin_triangle_counts(
@@ -525,24 +555,26 @@ class BakedMeshRenderer:
                     tile_h=self._BLOCK_H, tile_w=self._BLOCK_W,
                     cull_sign=self._cull_signs[i] if use_cull else 0,
                 )
-                h = counts > 0
-                has = h if has is None else has | h
+                per_mesh.append(jnp.sum(counts > 0))
                 maxc = jnp.maximum(maxc, jnp.max(counts))
-            return None, (jnp.sum(has), maxc)
+            return None, (jnp.stack(per_mesh), maxc)
 
         _, (blocks, cands) = jax.lax.scan(one, None, (intr_b, c2w_b, w2c_b))
-        return jnp.max(blocks), jnp.max(cands)
+        return jnp.max(blocks, axis=0), jnp.max(cands)
 
     # ---- public --------------------------------------------------------------
 
     def suggest_budgets(self, cameras, margin: int = 8):
         """(nr_cand, nr_blocks) budgets for `render_frames_device` on this
         camera set, from a binning-counts pre-pass: the max per-block
-        candidate count and the max per-frame candidate-block count, each
-        plus a margin and rounded up to a multiple of 8.  The candidate scan
-        is linear in nr_cand and shading is linear in nr_blocks, so tight
-        budgets matter; overflow still feeds the caller's retry.
-        nr_blocks is 0 when compaction would not help."""
+        candidate count, and PER MESH the max per-frame candidate-block
+        count, each plus a margin and rounded up to a multiple of 8. The
+        candidate scan is linear in nr_cand and shading is linear in each
+        mesh's block budget, so tight per-mesh budgets matter (inner shells
+        cover far fewer blocks than the outer); overflow still feeds the
+        caller's retry. nr_blocks is a per-mesh tuple; a mesh's entry is 0
+        (no compaction) when its budget would not beat the full grid, and
+        the whole value is the int 0 if no mesh benefits."""
         w, h = cameras[0].width, cameras[0].height
         poses = np.stack([c.pose for c in cameras])
         intr_b = jnp.asarray(np.stack([c.intrinsics for c in cameras]),
@@ -555,13 +587,15 @@ class BakedMeshRenderer:
             self._scene_fast, intr_b, c2w_b, w2c_b, width=w, height=h,
             use_cull=self._cameras_outside(poses),
         )
-        blocks, cands = int(blocks), int(cands)
         total = (raster._pad_to(w, self._BLOCK_W) // self._BLOCK_W) * (
             raster._pad_to(h, self._BLOCK_H) // self._BLOCK_H
         )
-        blk_budget = (blocks + margin + 7) // 8 * 8
-        cand_budget = (cands + margin + 7) // 8 * 8
-        return cand_budget, (blk_budget if blk_budget < total else 0)
+        blk_budget = tuple(
+            b if b < total else 0
+            for b in ((int(x) + margin + 7) // 8 * 8 for x in np.asarray(blocks))
+        )
+        cand_budget = (int(cands) + margin + 7) // 8 * 8
+        return cand_budget, (blk_budget if any(blk_budget) else 0)
 
     def render_rays(self, rays_o, rays_d):
         return self._render_jit(self._scene, rays_o, rays_d)
