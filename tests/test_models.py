@@ -319,3 +319,40 @@ def test_offsets_sdf_with_grads_matches_autodiff():
         np.testing.assert_allclose(
             np.asarray(grads[:, s, :]), np.asarray(g_rev), rtol=1e-4, atol=1e-6
         )
+
+
+def test_bf16_appearance_matches_f32():
+    """mlp_dtype="bfloat16" (the TPU-native hp.use_grad_scaler reading,
+    reference base_method.py:80-83) computes in bf16 but returns f32 outputs
+    close to the f32 model with the SAME params; grads stay finite."""
+    model32 = F.RGB(
+        mlp_layers_dims=(32, 32),
+        pos_encoder_type="gridhash",
+        normal_dep=False,
+        geom_feat_dep=False,
+        in_geom_feat_size=0,
+    )
+    model16 = F.RGB(
+        mlp_layers_dims=(32, 32),
+        pos_encoder_type="gridhash",
+        normal_dep=False,
+        geom_feat_dep=False,
+        in_geom_feat_size=0,
+        mlp_dtype="bfloat16",
+    )
+    k = jax.random.PRNGKey(0)
+    pts = jax.random.uniform(k, (64, 3), minval=-0.5, maxval=0.5)
+    dirs = jax.random.normal(jax.random.PRNGKey(1), (64, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    params = model32.init(jax.random.PRNGKey(2), pts, dirs)
+
+    out32 = model32.apply(params, pts, dirs)
+    out16 = model16.apply(params, pts, dirs)
+    assert out16.dtype == jnp.float32
+    # sigmoid outputs: bf16 matmuls keep ~2 decimal digits
+    np.testing.assert_allclose(np.asarray(out16), np.asarray(out32), atol=0.03)
+
+    g = jax.grad(lambda p: jnp.sum(model16.apply(p, pts, dirs)))(params)
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()
+        assert leaf.dtype == jnp.float32

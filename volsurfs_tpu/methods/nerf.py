@@ -46,6 +46,8 @@ class NeRF:
         self.radius = radius
         bb_sides = radius * 2.0
         hp = self.hp
+        # bf16 appearance compute under hp.use_grad_scaler (see surf.py)
+        mlp_dtype = "bfloat16" if hp.use_grad_scaler else None
 
         self.density_model = F.Density(
             mlp_layers_dims=tuple(hp.density_mlp_layers_dims),
@@ -64,6 +66,7 @@ class NeRF:
             in_geom_feat_size=hp.geom_feat_size,
             nr_iters_for_c2f=hp.rgb_nr_iters_for_c2f,
             bb_sides=bb_sides,
+            mlp_dtype=mlp_dtype,
         )
         self.bg_color = None
         self.bg_model = None
@@ -72,6 +75,7 @@ class NeRF:
                 pos_encoder_type=hp.bg_pos_encoder_type,
                 nr_iters_for_c2f=hp.bg_nr_iters_for_c2f,
                 bb_sides=None,
+                mlp_dtype=mlp_dtype,
             )
         elif bg_color == "white":
             self.bg_color = jnp.ones((1, 3))

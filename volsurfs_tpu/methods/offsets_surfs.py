@@ -96,6 +96,8 @@ class OffsetsSurfs:
             bb_sides=bb_sides,
         )
 
+        mlp_dtype = "bfloat16" if hp.use_grad_scaler else None  # see surf.py
+
         def make_appearance(out_channels, view_dep, normal_dep, geom_feat_dep):
             return F.RGB(
                 mlp_layers_dims=tuple(hp.rgb_mlp_layers_dims),
@@ -108,6 +110,7 @@ class OffsetsSurfs:
                 in_geom_feat_size=hp.geom_feat_size,
                 nr_iters_for_c2f=hp.rgb_nr_iters_for_c2f,
                 bb_sides=bb_sides,
+                mlp_dtype=mlp_dtype,
             )
 
         # color + transparency models, shared or per-surface
@@ -128,6 +131,7 @@ class OffsetsSurfs:
                 pos_encoder_type=hp.bg_pos_encoder_type,
                 nr_iters_for_c2f=hp.bg_nr_iters_for_c2f,
                 bb_sides=None,
+                mlp_dtype=mlp_dtype,
             )
         elif bg_color == "white":
             self.bg_color = jnp.ones((1, 3))

@@ -83,6 +83,10 @@ class Surf:
         bb_sides = radius * 2.0
 
         hp = self.hp
+        # bf16 appearance compute when the config asks for mixed precision
+        # (reference base_method.py:80-83 GradScaler; the SDF stays f32 —
+        # NeuS geometry is precision-sensitive on TPU)
+        mlp_dtype = "bfloat16" if hp.use_grad_scaler else None
         self.sdf_model = F.SDF(
             mlp_layers_dims=tuple(hp.sdf_mlp_layers_dims),
             encoding_type=hp.sdf_encoding_type,
@@ -101,6 +105,7 @@ class Surf:
                 in_geom_feat_size=hp.geom_feat_size,
                 nr_iters_for_c2f=hp.rgb_nr_iters_for_c2f,
                 bb_sides=bb_sides,
+                mlp_dtype=mlp_dtype,
             )
         else:
             self.rgb_model = F.RGB(
@@ -114,6 +119,7 @@ class Surf:
                 nr_iters_for_c2f=hp.rgb_nr_iters_for_c2f,
                 use_lipshitz_mlp=hp.rgb_use_lipshitz_mlp,
                 bb_sides=bb_sides,
+                mlp_dtype=mlp_dtype,
             )
         # constant vs learned background (reference surf.py:151-162)
         self.bg_color = None
@@ -123,6 +129,7 @@ class Surf:
                 pos_encoder_type=hp.bg_pos_encoder_type,
                 nr_iters_for_c2f=hp.bg_nr_iters_for_c2f,
                 bb_sides=None,  # bg operates on contracted coords, unbounded
+                mlp_dtype=mlp_dtype,
             )
         elif bg_color == "white":
             self.bg_color = jnp.ones((1, 3))

@@ -63,6 +63,7 @@ class VolSurfs:
         # (reference volsurfs.py:138-302)
         self.solid_inner = hp.is_inner_mesh_solid
 
+        mlp_dtype = "bfloat16" if hp.use_grad_scaler else None  # see surf.py
         if hp.using_neural_textures:
             self.rgb_model = SHNeuralTextures(
                 sh_deg=hp.sh_degree,
@@ -73,6 +74,7 @@ class VolSurfs:
                 lerp=hp.using_neural_textures_lerp,
                 quantize_output=hp.using_sh_quantization,
                 squeeze_output=hp.using_sh_squeezing,
+                mlp_dtype=mlp_dtype,
             )
             self.alpha_model = SHNeuralTextures(
                 sh_deg=hp.sh_degree,
@@ -83,6 +85,7 @@ class VolSurfs:
                 lerp=hp.using_neural_textures_lerp,
                 quantize_output=hp.using_sh_quantization,
                 squeeze_output=hp.using_sh_squeezing,
+                mlp_dtype=mlp_dtype,
             )
         else:
             # legacy per-mesh neural fields (reference volsurfs.py:200-302)
@@ -97,6 +100,7 @@ class VolSurfs:
                     geom_feat_dep=False,
                     in_geom_feat_size=0,
                     bb_sides=radius * 2.0,
+                    mlp_dtype=mlp_dtype,
                 )
                 self.alpha_model = F.ColorSH(
                     mlp_layers_dims=tuple(hp.rgb_mlp_layers_dims),
@@ -107,6 +111,7 @@ class VolSurfs:
                     geom_feat_dep=False,
                     in_geom_feat_size=0,
                     bb_sides=radius * 2.0,
+                    mlp_dtype=mlp_dtype,
                 )
             else:
                 self.rgb_model = F.RGB(
@@ -119,6 +124,7 @@ class VolSurfs:
                     geom_feat_dep=False,
                     in_geom_feat_size=0,
                     bb_sides=radius * 2.0,
+                    mlp_dtype=mlp_dtype,
                 )
                 self.alpha_model = F.RGB(
                     mlp_layers_dims=tuple(hp.rgb_mlp_layers_dims),
@@ -130,6 +136,7 @@ class VolSurfs:
                     geom_feat_dep=False,
                     in_geom_feat_size=0,
                     bb_sides=radius * 2.0,
+                    mlp_dtype=mlp_dtype,
                 )
 
         self.bg_color = None
@@ -139,6 +146,7 @@ class VolSurfs:
                 pos_encoder_type=hp.bg_pos_encoder_type,
                 nr_iters_for_c2f=hp.bg_nr_iters_for_c2f,
                 bb_sides=None,
+                mlp_dtype=mlp_dtype,
             )
         elif bg_color == "white":
             self.bg_color = jnp.ones((1, 3))

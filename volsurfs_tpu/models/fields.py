@@ -282,6 +282,9 @@ class RGB(nn.Module):
     nr_iters_for_c2f: int = 0
     use_lipshitz_mlp: bool = False
     bb_sides: float = 2.0
+    # bf16 appearance compute = the TPU-native reading of hp.use_grad_scaler
+    # (reference base_method.py:80-83); geometry nets stay f32.
+    mlp_dtype: str | None = None
 
     @nn.compact
     def __call__(
@@ -312,6 +315,7 @@ class RGB(nn.Module):
         x = mlp_cls(
             tuple(self.mlp_layers_dims) + (self.out_channels,),
             last_layer_linear=True,
+            dtype=self.mlp_dtype,
         )(x)
         return jax.nn.sigmoid(x)
 
@@ -330,6 +334,7 @@ class ColorSH(nn.Module):
     in_geom_feat_size: int = 32
     nr_iters_for_c2f: int = 0
     bb_sides: float = 2.0
+    mlp_dtype: str | None = None  # see RGB.mlp_dtype
 
     @nn.compact
     def __call__(
@@ -356,6 +361,7 @@ class ColorSH(nn.Module):
         pred = MLP(
             tuple(self.mlp_layers_dims) + (nr_coeffs * self.out_channels,),
             last_layer_linear=True,
+            dtype=self.mlp_dtype,
         )(x)
         if samples_dirs is None:
             return pred
@@ -375,6 +381,7 @@ class NerfHash(nn.Module):
     nr_feat_for_rgb: int = 64
     nr_iters_for_c2f: int = 0
     bb_sides: float = 2.0
+    mlp_dtype: str | None = None  # see RGB.mlp_dtype
 
     @nn.compact
     def __call__(self, samples_3d, samples_dirs, iter_nr=None):
@@ -390,11 +397,12 @@ class NerfHash(nn.Module):
         dirs_enc = jax.lax.stop_gradient(sh_basis(samples_dirs, self.sh_deg))
 
         feat_and_density = MLP(
-            (64, 64, 64, self.nr_feat_for_rgb + 1), last_layer_linear=True
+            (64, 64, 64, self.nr_feat_for_rgb + 1), last_layer_linear=True,
+            dtype=self.mlp_dtype,
         )(feats)
         density = jax.nn.softplus(feat_and_density[..., 0:1])
         feat_rgb = feat_and_density[..., 1 : self.nr_feat_for_rgb + 1]
 
         x = jnp.concatenate([nn.gelu(feat_rgb), dirs_enc], axis=-1)
-        rgb = MLP((64, 64, 3), last_layer_linear=True)(x)
+        rgb = MLP((64, 64, 3), last_layer_linear=True, dtype=self.mlp_dtype)(x)
         return jax.nn.sigmoid(rgb), density

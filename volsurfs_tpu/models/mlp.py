@@ -28,6 +28,11 @@ class MLP(nn.Module):
     last_layer_linear: bool = True
     use_bias: bool = True
     activation: str = "gelu"
+    # computation dtype (params stay f32). bf16 is the TPU-native reading of
+    # the reference's fp16 GradScaler training (base_method.py:80-83,
+    # trainer.py:262-276): bf16 shares f32's exponent range so no loss
+    # scaling is needed. None = float32.
+    dtype: str | None = None
 
     @nn.compact
     def __call__(self, x, tangents=None):
@@ -41,18 +46,23 @@ class MLP(nn.Module):
         gradients chain through the MLP without re-evaluating the encoder
         (see encodings._hash_lookup_grad)."""
         act = {"gelu": nn.gelu, "relu": nn.relu}[self.activation]
+        dtype = jnp.dtype(self.dtype) if self.dtype is not None else None
         n = len(self.layer_dims)
         if tangents is None:
             for i, dim in enumerate(self.layer_dims):
-                x = nn.Dense(dim, use_bias=self.use_bias, name=f"dense_{i}")(x)
+                x = nn.Dense(
+                    dim, use_bias=self.use_bias, dtype=dtype, name=f"dense_{i}"
+                )(x)
                 is_last = i == n - 1
                 if not (is_last and self.last_layer_linear):
                     x = act(x)
-            return x
+            return x if dtype is None else x.astype(jnp.float32)
 
         t = jnp.moveaxis(tangents, -1, 0)  # [K, ..., D]
         for i, dim in enumerate(self.layer_dims):
-            dense = nn.Dense(dim, use_bias=self.use_bias, name=f"dense_{i}")
+            dense = nn.Dense(
+                dim, use_bias=self.use_bias, dtype=dtype, name=f"dense_{i}"
+            )
             stacked = jnp.concatenate(
                 [x[None], t, jnp.zeros_like(x)[None]], axis=0
             )
@@ -65,6 +75,9 @@ class MLP(nn.Module):
                 t = dz * act_deriv[None]
             else:
                 x, t = z, dz
+        if dtype is not None:
+            x = x.astype(jnp.float32)
+            t = t.astype(jnp.float32)
         return x, jnp.moveaxis(t, 0, -1)
 
 
@@ -78,9 +91,11 @@ class LipshitzMLP(nn.Module):
 
     layer_dims: Sequence[int]
     last_layer_linear: bool = True
+    dtype: str | None = None  # computation dtype (see MLP.dtype)
 
     @nn.compact
     def __call__(self, x):
+        dtype = jnp.dtype(self.dtype) if self.dtype is not None else None
         n = len(self.layer_dims)
         for i, dim in enumerate(self.layer_dims):
             in_dim = x.shape[-1]
@@ -97,11 +112,14 @@ class LipshitzMLP(nn.Module):
             )
             absrowsum = jnp.sum(jnp.abs(w), axis=0)  # per-output-row in torch layout
             scale = jnp.clip(jax.nn.softplus(c) / absrowsum, max=1.0)
-            x = x @ (w * scale[None, :]) + b
+            wb = w * scale[None, :]
+            if dtype is not None:
+                x, wb, b = x.astype(dtype), wb.astype(dtype), b.astype(dtype)
+            x = x @ wb + b
             is_last = i == n - 1
             if not (is_last and self.last_layer_linear):
                 x = nn.gelu(x)
-        return x
+        return x if dtype is None else x.astype(jnp.float32)
 
     @staticmethod
     def lipshitz_bound_full(params) -> jnp.ndarray:

@@ -105,13 +105,15 @@ class NeuralTexture(nn.Module):
     lerp: bool = False
     quantize_output: bool = False
     squeeze_output: bool = False
+    mlp_dtype: str | None = None  # bf16 compute under hp.use_grad_scaler
 
     def setup(self):
         from volsurfs_tpu.models.mlp import MLP
 
         self.encoding = HashGrid2D()
         self.network = MLP(
-            (64, 64, self.nr_channels), last_layer_linear=True, activation="relu"
+            (64, 64, self.nr_channels), last_layer_linear=True,
+            activation="relu", dtype=self.mlp_dtype,
         )
 
     def _texel_center_uv(self, pix):
@@ -206,6 +208,7 @@ class SHNeuralTextures(nn.Module):
     lerp: bool = True
     quantize_output: bool = False
     squeeze_output: bool = False
+    mlp_dtype: str | None = None  # bf16 compute under hp.use_grad_scaler
 
     @property
     def nr_coeffs(self):
@@ -222,6 +225,7 @@ class SHNeuralTextures(nn.Module):
                 lerp=self.lerp,
                 quantize_output=self.quantize_output,
                 squeeze_output=self.squeeze_output,
+                mlp_dtype=self.mlp_dtype,
             )
             for deg in range(self.sh_deg + 1)
         ]

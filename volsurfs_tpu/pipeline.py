@@ -25,6 +25,22 @@ from volsurfs_tpu.training import checkpoints
 from volsurfs_tpu.training.trainer import Trainer
 
 
+def _maybe_resume(run_dir: str, state):
+    """Resume a stage from its latest checkpoint if one exists (reference
+    trainer.py:659-663 --continue_training; stages communicate through the
+    run dir, SURVEY.md §3.6)."""
+    ckpt_dir = os.path.join(run_dir, "checkpoints")
+    if checkpoints.get_last_checkpoint_in_path(ckpt_dir) is None:
+        return state
+    try:
+        state = checkpoints.load_checkpoint(ckpt_dir, state)
+        print(f"[pipeline] resumed {run_dir} at iter {int(state.iter_nr)}",
+              flush=True)
+    except Exception as e:  # stale/incompatible checkpoint: train fresh
+        print(f"[pipeline] could not resume {run_dir}: {e}", flush=True)
+    return state
+
+
 def run_pipeline(
     mv_data: MVDataset,
     runs_root: str,
@@ -58,7 +74,7 @@ def run_pipeline(
         occupancy_res=occupancy_res, key=k_surf,
     )
     trainer = Trainer(surf, mv_data, surf_dir)
-    surf_state = trainer.train(surf.init_state())
+    surf_state = trainer.train(_maybe_resume(surf_dir, surf.init_state()))
     if eval_splits:
         results["surf_test_metrics"] = trainer.eval_split(surf_state, "test")
     results["surf_dir"] = surf_dir
@@ -75,6 +91,7 @@ def run_pipeline(
         params = dict(offs_state.params)
         params["bg"] = surf_state.params["bg"]
         offs_state = offs_state.replace(params=params)
+    offs_state = _maybe_resume(offs_dir, offs_state)
     trainer = Trainer(offs, mv_data, offs_dir)
     offs_state = trainer.train(offs_state)
     if eval_splits:
@@ -101,6 +118,7 @@ def run_pipeline(
         params = dict(vs_state.params)
         params["bg"] = offs_state.params["bg"]
         vs_state = vs_state.replace(params=params)
+    vs_state = _maybe_resume(vs_dir, vs_state)
     trainer = Trainer(vs, mv_data, vs_dir)
     vs_state = trainer.train(vs_state)
     if eval_splits:
