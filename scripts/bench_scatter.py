@@ -86,6 +86,34 @@ def main():
 
         report("segment_sum PRE-SORTED", timed(seg, idx_s, upd))
 
+    if which in ("all", "uniq"):
+        # sort by row -> run totals via inclusive/exclusive cumsum -> TWO
+        # unique-index scatters (run starts get -excl, run ends get +incl;
+        # their sum per row is the run total). All steps are parallel VPU
+        # work except the scatters, which XLA can vectorize because
+        # unique_indices=True.
+        def uniq(idx, upd):
+            flat_idx = (idx + (jnp.arange(L, dtype=jnp.int32) * T)[:, None]).reshape(-1)
+            u = upd.reshape(-1, F)
+            order = jnp.argsort(flat_idx)
+            r = flat_idx[order]
+            us = u[order]
+            csum = jnp.cumsum(us, axis=0)
+            excl = csum - us
+            is_end = jnp.concatenate([r[1:] != r[:-1], jnp.ones((1,), bool)])
+            is_start = jnp.concatenate([jnp.ones((1,), bool), r[1:] != r[:-1]])
+            # non-end entries scatter into DISTINCT padding rows so
+            # unique_indices=True is honest; padding is sliced off after
+            pad = L * T + jnp.arange(r.shape[0], dtype=jnp.int32)
+            end_rows = jnp.where(is_end, r, pad)
+            start_rows = jnp.where(is_start, r, pad)
+            d = jnp.zeros((L * T + r.shape[0], F), jnp.float32)
+            d = d.at[end_rows].add(csum, unique_indices=True)
+            d = d.at[start_rows].add(-excl, unique_indices=True)
+            return d[: L * T]
+
+        report("sort+cumsum+2 unique scatters", timed(uniq, idx, upd))
+
     if which in ("all", "sorttime"):
         def s(idx):
             return jnp.sort(idx, axis=1)

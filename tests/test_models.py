@@ -356,3 +356,43 @@ def test_bf16_appearance_matches_f32():
     for leaf in jax.tree_util.tree_leaves(g):
         assert np.isfinite(np.asarray(leaf)).all()
         assert leaf.dtype == jnp.float32
+
+
+def test_table_grad_scatter_modes_agree():
+    """The "sorted" unique-scatter table-gradient formulation equals the
+    "flat" scatter (and autodiff) for both _hash_lookup and
+    _hash_lookup_grad backward passes."""
+    k = jax.random.PRNGKey(0)
+    k1, k2, k3, k4, k5 = jax.random.split(k, 5)
+    N, L, C, F, T = 37, 4, 8, 2, 64
+    table = jax.random.normal(k1, (L * T, F))
+    idx = jax.random.randint(k2, (N, L, C), 0, L * T, jnp.int32)
+    bary = jax.random.uniform(k3, (N, L, C))
+    dbary = jax.random.normal(k4, (N, L, C, 3))
+    cot = jax.random.normal(k5, (N, L, F))
+
+    def loss(t):
+        return jnp.sum(E._hash_lookup(t, idx, bary) * cot)
+
+    def loss_grad(t):
+        f, df = E._hash_lookup_grad(t, idx, bary, dbary)
+        return jnp.sum(f * cot) + jnp.sum(df * cot[..., None])
+
+    grads = {}
+    for mode in ("flat", "sorted"):
+        E.set_table_grad_mode(mode)
+        grads[mode] = (jax.grad(loss)(table), jax.grad(loss_grad)(table))
+    E.set_table_grad_mode("flat")
+
+    for a, b in zip(grads["flat"], grads["sorted"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    # against plain autodiff of the unfused formulation
+    def loss_ref(t):
+        g = t[idx]
+        return jnp.sum(jnp.sum(bary[..., None] * g, axis=2) * cot)
+
+    np.testing.assert_allclose(
+        np.asarray(grads["flat"][0]), np.asarray(jax.grad(loss_ref)(table)),
+        atol=1e-4,
+    )

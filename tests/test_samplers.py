@@ -171,3 +171,42 @@ def test_occupancy_grid_updates():
     far = np.abs(r - 0.5) > 0.4
     assert occ[near].all()
     assert not occ[far & np.asarray(grid.roi)].any()
+
+
+def test_rays_t_near_t_far_in_occupancy():
+    """Occupancy ray clipping (reference OccupancyGridGPU.cuh:318-396):
+    the tightened interval brackets exactly the occupied band, empty rays
+    collapse to [t_near, t_near], and clipped sampling still covers the
+    occupied region."""
+    # occupancy = slab 0.2 < z < 0.5 (in world coords)
+    def occupancy_lookup(pts):
+        return (pts[:, 2] > 0.2) & (pts[:, 2] < 0.5)
+
+    rays_o = jnp.asarray([[0.0, 0.0, -1.0], [0.0, 0.0, -1.0]])
+    rays_d = jnp.asarray([[0.0, 0.0, 1.0], [0.0, 1.0, 0.0]])  # 2nd misses slab
+    t_near = jnp.asarray([[0.0], [0.0]])
+    t_far = jnp.asarray([[3.0], [3.0]])
+
+    t0, t1 = SP.rays_t_near_t_far_in_occupancy(
+        rays_o, rays_d, t_near, t_far, occupancy_lookup, nr_probe_steps=256
+    )
+    # ray 0 enters the slab at z=0.2 -> t=1.2, leaves at z=0.5 -> t=1.5
+    step = 3.0 / 256
+    assert abs(float(t0[0, 0]) - 1.2) <= step
+    assert abs(float(t1[0, 0]) - 1.5) <= step
+    assert float(t0[0, 0]) <= 1.2 + step and float(t1[0, 0]) >= 1.5 - step
+    # ray 1 never occupied -> empty interval at t_near
+    assert float(t0[1, 0]) == 0.0 and float(t1[1, 0]) == 0.0
+
+    # clipped sampling: all samples of ray 0 fall inside the (padded) slab,
+    # ray 1 gets no samples
+    samples = SP.compute_samples_fg_in_occupied_regions(
+        rays_o, rays_d, t_near, t_far, occupancy_lookup,
+        min_dist_between_samples=1e-4, min_nr_samples_per_ray=1,
+        max_nr_samples_per_ray=16, key=None, nr_march_steps=128,
+        clip_to_occupancy=True, nr_probe_steps=256,
+    )
+    z0 = np.asarray(samples.z[0][np.asarray(samples.mask[0])])
+    assert z0.size > 0
+    assert (z0 >= 1.2 - 2 * step).all() and (z0 <= 1.5 + 2 * step).all()
+    assert not np.asarray(samples.mask[1]).any()

@@ -293,6 +293,7 @@ class OffsetsSurfs:
                 rays_o, rays_d, t_near, t_far, grid.lookup_fn(),
                 hp.min_dist_between_samples, hp.min_nr_samples_per_ray,
                 hp.max_nr_samples_per_ray, key=k_uni if jitter else None,
+                clip_to_occupancy=hp.clip_rays_to_occupancy,
             )
         else:
             uniform = SP.compute_samples_fg(

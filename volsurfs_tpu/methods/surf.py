@@ -233,6 +233,7 @@ class Surf:
                 hp.min_nr_samples_per_ray,
                 hp.max_nr_samples_per_ray,
                 key=k_uni if jitter else None,
+                clip_to_occupancy=hp.clip_rays_to_occupancy,
             )
         else:
             uniform = SP.compute_samples_fg(

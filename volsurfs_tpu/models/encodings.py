@@ -277,6 +277,57 @@ class HashGridEncoder(nn.Module):
         return feats, dfeats, out_of_bounds
 
 
+# ---- table-gradient scatter --------------------------------------------------
+# Mode switch for the hash-table gradient accumulation (the dominant
+# train-step cost on TPU; scripts/bench_scatter.py):
+#   "flat"   — one scalar-flat scatter-add with duplicate indices
+#   "sorted" — sort updates by row, collapse each duplicate run with an
+#              associative-scan cumsum, then TWO unique-index scatters
+#              (run ends get +inclusive-cumsum, run starts get -exclusive);
+#              unique indices let XLA vectorize the scatter instead of
+#              serializing over duplicates.
+_TABLE_GRAD_MODE = "flat"
+
+
+def set_table_grad_mode(mode: str):
+    global _TABLE_GRAD_MODE
+    assert mode in ("flat", "sorted"), mode
+    _TABLE_GRAD_MODE = mode
+
+
+def _table_grad_scatter(rows, upd, table_rows: int, dtype):
+    """Accumulate upd [M, F] into rows [M] of a zero [table_rows, F] table."""
+    F = upd.shape[-1]
+    if _TABLE_GRAD_MODE == "sorted":
+        order = jnp.argsort(rows)
+        r = rows[order]
+        us = upd[order]
+        # associative_scan, not jnp.cumsum: the reduce-window lowering of
+        # cumsum trips the TPU fusion emitter (see ops/volume_rendering)
+        csum = jax.lax.associative_scan(jnp.add, us, axis=0)
+        excl = csum - us
+        boundary = r[1:] != r[:-1]
+        is_end = jnp.concatenate([boundary, jnp.ones((1,), bool)])
+        is_start = jnp.concatenate([jnp.ones((1,), bool), boundary])
+        # non-boundary entries land in DISTINCT padding rows (sliced off
+        # below) so unique_indices=True is honest
+        pad = table_rows + jnp.arange(r.shape[0], dtype=rows.dtype)
+        d = jnp.zeros((table_rows + r.shape[0], F), dtype)
+        d = d.at[jnp.where(is_end, r, pad)].add(csum, unique_indices=True)
+        d = d.at[jnp.where(is_start, r, pad)].add(-excl, unique_indices=True)
+        return d[:table_rows]
+    # scalar-flat scatter: one 1-D scatter of M*F scalars instead of M rows
+    # of F — measures 3x faster on v5e than the row form
+    # (scripts/bench_scatter.py: 34 vs 11.5 M row-updates/s)
+    i2 = (rows[:, None] * F + jnp.arange(F, dtype=rows.dtype)[None, :]).reshape(-1)
+    return (
+        jnp.zeros((table_rows * F,), dtype).at[i2].add(upd.reshape(-1)).reshape(
+            table_rows, F
+        )
+    )
+
+
+
 @jax.custom_vjp
 def _hash_lookup(flat_table, flat_idx, bary):
     """Fused multi-level multi-corner hash-table lookup.
@@ -304,18 +355,8 @@ def _hash_lookup_bwd(res, dout):
     # dout [N, L, F]
     d_bary = jnp.sum(g * dout[:, :, None, :], axis=-1)  # [N, L, C]
     upd = (bary[..., None] * dout[:, :, None, :]).reshape(-1, table_shape[-1])
-    # scalar-flat scatter: one 1-D scatter of M*F scalars instead of M rows
-    # of F — measures 3x faster on v5e (scripts/bench_scatter.py: 34 vs 11.5
-    # M row-updates/s; XLA's row scatter pays per-row overhead that the
-    # scalar form amortizes across lanes)
-    F = table_shape[-1]
-    rows = flat_idx.reshape(-1)
-    i2 = (rows[:, None] * F + jnp.arange(F, dtype=rows.dtype)[None, :]).reshape(-1)
-    d_table = (
-        jnp.zeros((table_shape[0] * F,), dout.dtype)
-        .at[i2]
-        .add(upd.reshape(-1))
-        .reshape(table_shape)
+    d_table = _table_grad_scatter(
+        flat_idx.reshape(-1), upd, table_shape[0], dout.dtype
     )
     return d_table, None, d_bary
 
@@ -361,14 +402,9 @@ def _hash_lookup_grad_bwd(res, cots):
     )  # [N, L, C, F]
     d_bary = jnp.sum(g * gf[:, :, None, :], axis=-1)
     d_dbary = jnp.einsum("nlcf,nlfk->nlck", g, gd)
-    F = table_shape[-1]
-    rows = flat_idx.reshape(-1)
-    i2 = (rows[:, None] * F + jnp.arange(F, dtype=rows.dtype)[None, :]).reshape(-1)
-    d_table = (
-        jnp.zeros((table_shape[0] * F,), gf.dtype)
-        .at[i2]
-        .add(cot_g.reshape(-1))
-        .reshape(table_shape)
+    d_table = _table_grad_scatter(
+        flat_idx.reshape(-1), cot_g.reshape(-1, table_shape[-1]),
+        table_shape[0], gf.dtype,
     )
     return d_table, None, d_bary, d_dbary
 

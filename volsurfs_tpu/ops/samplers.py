@@ -102,6 +102,46 @@ def compute_samples_fg(
     return update_dt(out, is_background=False)
 
 
+def rays_t_near_t_far_in_occupancy(
+    rays_o,
+    rays_d,
+    t_near,
+    t_far,
+    occupancy_lookup,
+    nr_probe_steps: int = 128,
+):
+    """Tighten each ray's [t_near, t_far] to its first/last occupied probe.
+
+    TPU re-design of the reference's occupancy DDA ray clipping
+    (kernels/volsurfs/OccupancyGridGPU.cuh:318-396 ``get_rays_t_near_t_far``):
+    instead of a per-ray voxel walk, probe a fixed coarse grid of step
+    midpoints (one batched gather) and reduce to the first/last occupied
+    index with argmax. Rays with no occupied probe collapse to an empty
+    interval at t_near (0 samples downstream).
+
+    Returns (t_near' [R,1], t_far' [R,1]) with
+    t_near <= t_near' <= t_far' <= t_far.
+    """
+    K0 = nr_probe_steps
+    seg = (t_far - t_near) / K0  # [R, 1]
+    k = jnp.arange(K0, dtype=jnp.float32)[None, :]
+    t_mid = t_near + (k + 0.5) * seg  # [R, K0]
+    pts = rays_o[:, None, :] + t_mid[..., None] * rays_d[:, None, :]
+    R = rays_o.shape[0]
+    occ = occupancy_lookup(pts.reshape(-1, 3)).reshape(R, K0)
+    occ = occ & (seg > 0.0)
+    any_occ = jnp.any(occ, axis=1, keepdims=True)
+    first = jnp.argmax(occ, axis=1, keepdims=True).astype(jnp.float32)
+    last = (K0 - 1) - jnp.argmax(occ[:, ::-1], axis=1, keepdims=True).astype(
+        jnp.float32
+    )
+    t0 = t_near + first * seg
+    t1 = t_near + (last + 1.0) * seg
+    t0 = jnp.where(any_occ, t0, t_near)
+    t1 = jnp.where(any_occ, t1, t_near)
+    return t0, t1
+
+
 def compute_samples_fg_in_occupied_regions(
     rays_o,
     rays_d,
@@ -113,6 +153,8 @@ def compute_samples_fg_in_occupied_regions(
     max_nr_samples_per_ray: int,
     key: jax.Array | None,
     nr_march_steps: int = 512,
+    clip_to_occupancy: bool = False,
+    nr_probe_steps: int = 128,
 ) -> RaySamples:
     """Equispaced samples *within occupied space only*.
 
@@ -133,6 +175,15 @@ def compute_samples_fg_in_occupied_regions(
     R = rays_o.shape[0]
     S = max_nr_samples_per_ray
     K = nr_march_steps
+
+    if clip_to_occupancy:
+        # coarse occupancy pre-pass tightens the marched interval so the K
+        # fine steps land at higher effective resolution (reference
+        # OccupancyGridGPU.cuh:318-396 clips rays the same way before
+        # sampling)
+        t_near, t_far = rays_t_near_t_far_in_occupancy(
+            rays_o, rays_d, t_near, t_far, occupancy_lookup, nr_probe_steps
+        )
 
     dist = t_far - t_near  # [R, 1]
     seg = dist / K  # [R, 1]

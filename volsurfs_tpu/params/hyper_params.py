@@ -56,6 +56,10 @@ class HyperParams:
     mask_weight: float = 0.0
 
     use_occupancy_grid: bool = True
+    # clip each ray's marched interval to its occupied t-range before
+    # placing samples (reference OccupancyGridGPU.cuh:318-396
+    # get_rays_t_near_t_far); improves effective sampling resolution
+    clip_rays_to_occupancy: bool = True
     use_grad_scaler: bool = False
 
     # sampling
