@@ -60,3 +60,49 @@ def test_orbit_camera():
     orbit.zoom(0.5)
     cam2 = orbit.camera()
     assert abs(np.linalg.norm(cam2.pose[:3, 3]) - 1.0) < 1e-5  # radius 2*0.5
+
+
+def test_interactive_viewer_http_loop():
+    """The interactive viewer event loop (reference viewer.py:11-363):
+    serves the control page, renders /frame requests through an OrbitCamera
+    built from the query params, and reports render timing."""
+    import io
+    import urllib.request
+
+    from PIL import Image
+
+    from volsurfs_tpu.renderers.viewer import InteractiveViewer
+
+    seen = []
+
+    class StubRenderer:
+        def render(self, camera):
+            seen.append(camera)
+            img = np.zeros((camera.height, camera.width, 3), np.float32)
+            img[..., 0] = 0.5
+            return img
+
+    viewer = InteractiveViewer(StubRenderer(), resolution=32)
+    server, port = viewer.serve(port=0, blocking=False)
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/") as r:
+            page = r.read().decode()
+        assert "volsurfs_tpu viewer" in page and "/frame" in page
+
+        url = (f"http://127.0.0.1:{port}/frame?az=1.57&el=0.0&r=3.0"
+               f"&cx=0&cy=0&cz=0&res=24")
+        with urllib.request.urlopen(url) as r:
+            assert r.headers["Content-Type"] == "image/png"
+            assert float(r.headers["X-Render-Ms"]) >= 0.0
+            img = Image.open(io.BytesIO(r.read()))
+        assert img.size == (24, 24)
+        np.testing.assert_allclose(np.asarray(img)[..., 0], 127, atol=1)
+
+        # the camera honored the orbit params: az=pi/2, r=3 -> eye ~ (0,3,0)
+        cam = seen[-1]
+        np.testing.assert_allclose(
+            cam.get_pose()[:3, 3], [0.0, 3.0, 0.0], atol=0.01  # az=1.57~pi/2
+        )
+        assert cam.width == cam.height == 24
+    finally:
+        server.shutdown()

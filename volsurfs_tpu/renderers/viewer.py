@@ -107,6 +107,149 @@ def render_turntable(
     return frame_times
 
 
+_VIEWER_HTML = """<!doctype html>
+<html><head><title>volsurfs_tpu viewer</title><style>
+body { margin:0; background:#111; color:#ddd; font:13px monospace; }
+#hud { position:fixed; top:8px; left:8px; background:rgba(0,0,0,.6);
+       padding:6px 10px; border-radius:4px; white-space:pre; }
+img { display:block; margin:0 auto; cursor:grab; }
+</style></head><body>
+<div id="hud">loading...</div><img id="view" draggable="false">
+<script>
+// event loop mirroring the reference dearpygui viewer handlers
+// (volsurfs_py/viewer/viewer.py:11-363): left-drag orbit, right/middle or
+// shift-drag pan, wheel zoom, FPS + render-ms HUD.
+let az = 0.0, el = 0.3, radius = 2.0, cx = 0, cy = 0, cz = 0;
+let res = RES, busy = false, dirty = true, lastMs = 0, fps = 0, tPrev = 0;
+const img = document.getElementById('view'), hud = document.getElementById('hud');
+function req() {
+  if (busy) { return; }
+  if (!dirty) { setTimeout(req, 10); return; }
+  busy = true; dirty = false;
+  const t0 = performance.now();
+  fetch(`/frame?az=${az}&el=${el}&r=${radius}&cx=${cx}&cy=${cy}&cz=${cz}&res=${res}`)
+    .then(r => { lastMs = parseFloat(r.headers.get('X-Render-Ms')); return r.blob(); })
+    .then(b => {
+      img.src = URL.createObjectURL(b);
+      const t1 = performance.now();
+      fps = 1000.0 / (t1 - (tPrev || t1 - 1)); tPrev = t1;
+      hud.textContent = `render ${lastMs.toFixed(1)} ms   loop ${fps.toFixed(1)} fps\\n` +
+        `az ${az.toFixed(2)} el ${el.toFixed(2)} r ${radius.toFixed(2)}`;
+      busy = false; req();
+    }).catch(() => { busy = false; });
+}
+let drag = null;
+img.onmousedown = e => { drag = {x: e.clientX, y: e.clientY, b: e.button, s: e.shiftKey}; e.preventDefault(); };
+window.onmouseup = () => drag = null;
+window.onmousemove = e => {
+  if (!drag) return;
+  const dx = e.clientX - drag.x, dy = e.clientY - drag.y;
+  drag.x = e.clientX; drag.y = e.clientY;
+  if (drag.b === 0 && !drag.s) { az -= dx * 0.01; el = Math.min(1.45, Math.max(-1.45, el + dy * 0.01)); }
+  else { cx -= dx * 0.002 * radius; cz += dy * 0.002 * radius; }
+  dirty = true;
+};
+img.oncontextmenu = e => e.preventDefault();
+window.onwheel = e => { radius = Math.min(20, Math.max(0.2, radius * (e.deltaY > 0 ? 1.1 : 0.9))); dirty = true; };
+req();
+</script></body></html>
+"""
+
+
+class InteractiveViewer:
+    """Interactive viewer event loop over HTTP (reference
+    volsurfs_py/viewer/viewer.py:11-363: dearpygui drag/pan/zoom handlers +
+    per-frame render into a texture buffer + FPS/timing HUD).
+
+    This environment has no display toolkit, so the window is a browser
+    page: mouse handlers update an OrbitCamera server-side per /frame
+    request; the HUD shows server render ms and client loop FPS. The
+    renderer only needs ``render_frame(camera)`` (raster fast path) or
+    ``render(camera)``.
+    """
+
+    def __init__(self, renderer, resolution: int = 512, radius: float = 2.0):
+        self.renderer = renderer
+        self.resolution = resolution
+        self.radius = radius
+        self._budgets = None
+        self.server = None
+
+    def render_params(self, az, el, r, center, res):
+        cam_ctl = OrbitCamera(res, res, r)
+        cam_ctl.azimuth, cam_ctl.elevation = az, el
+        cam_ctl.center = np.asarray(center, np.float32)
+        camera = cam_ctl.camera()
+        t0 = time.perf_counter()
+        if hasattr(self.renderer, "render_frame"):
+            if self._budgets is None:
+                self._budgets = self.renderer.suggest_budgets([camera])
+            img = self.renderer.render_frame(camera, *self._budgets)
+        else:
+            img = self.renderer.render(camera)
+        dt = time.perf_counter() - t0
+        img = (np.clip(np.asarray(img), 0.0, 1.0) * 255).astype(np.uint8)
+        return img, dt
+
+    def serve(self, port: int = 8090, blocking: bool = True):
+        """Start the HTTP event loop. Returns (server, port); with
+        blocking=False the loop runs on a daemon thread (used by tests)."""
+        import io
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+        from urllib.parse import parse_qs, urlparse
+
+        viewer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def do_GET(self):
+                url = urlparse(self.path)
+                if url.path == "/":
+                    body = _VIEWER_HTML.replace("RES", str(viewer.resolution))
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html")
+                    self.end_headers()
+                    self.wfile.write(body.encode())
+                    return
+                if url.path != "/frame":
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                q = parse_qs(url.query)
+
+                def f(name, default):
+                    return float(q.get(name, [default])[0])
+
+                img, dt = viewer.render_params(
+                    f("az", 0.0), f("el", 0.3), f("r", viewer.radius),
+                    (f("cx", 0.0), f("cy", 0.0), f("cz", 0.0)),
+                    int(f("res", viewer.resolution)),
+                )
+                from PIL import Image
+
+                buf = io.BytesIO()
+                Image.fromarray(img).save(buf, "PNG")
+                self.send_response(200)
+                self.send_header("Content-Type", "image/png")
+                self.send_header("X-Render-Ms", f"{dt * 1e3:.2f}")
+                self.end_headers()
+                self.wfile.write(buf.getvalue())
+
+        server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+        self.server = server
+        port = server.server_address[1]
+        print(f"viewer: http://127.0.0.1:{port}/ (drag orbit, shift-drag pan, "
+              "wheel zoom)", flush=True)
+        if blocking:
+            server.serve_forever()
+        else:
+            threading.Thread(target=server.serve_forever, daemon=True).start()
+        return server, port
+
+
 def main():
     import argparse
 
@@ -115,12 +258,18 @@ def main():
     parser.add_argument("--out_dir", default="./turntable")
     parser.add_argument("--nr_frames", type=int, default=60)
     parser.add_argument("--resolution", type=int, default=512)
+    parser.add_argument("--serve", type=int, default=0, metavar="PORT",
+                        help="serve the interactive viewer instead of "
+                             "writing a turntable")
     args = parser.parse_args()
 
     from volsurfs_tpu.renderers.mesh_renderer import BakedMeshRenderer
 
     renderer = BakedMeshRenderer(args.scene_dir)
-    render_turntable(renderer, args.out_dir, args.nr_frames, args.resolution)
+    if args.serve:
+        InteractiveViewer(renderer, args.resolution).serve(args.serve)
+    else:
+        render_turntable(renderer, args.out_dir, args.nr_frames, args.resolution)
 
 
 if __name__ == "__main__":
