@@ -174,3 +174,55 @@ def test_lpips_rf_perceptual_metric():
     d_small, d_big = lpips_rf(img, small), lpips_rf(img, big)
     assert 0 < d_small < d_big
     assert lpips_rf(img, small) == d_small  # deterministic
+
+
+def test_postprocess_renders_and_plots():
+    """Postprocessing parity (reference postprocessing.py:41-244,
+    plotting_2d.py:46-140): key-based colorization, per-surface stacking,
+    and the SDF section plots render to finite rgb arrays."""
+    import numpy as np
+
+    from volsurfs_tpu.datasets.cameras import Camera
+    from volsurfs_tpu.utils import postprocessing as PP
+
+    h = w = 8
+    cam = Camera(np.eye(3, dtype=np.float32), np.eye(4, dtype=np.float32), w, h)
+    n = h * w
+    renders = {
+        "volumetric": {
+            "rgb": np.random.rand(n, 3).astype(np.float32),
+            "depth": np.linspace(0, 2, n, dtype=np.float32)[:, None],
+            "normals": np.random.uniform(-1, 1, (n, 3)).astype(np.float32),
+            "weights_sum": np.random.rand(n, 1).astype(np.float32),
+            "uv": np.random.rand(n, 2, 2).astype(np.float32),  # 2 surfaces
+            "nr_samples": np.random.randint(0, 16, (n, 1)).astype(np.float32),
+        }
+    }
+    out = PP.postprocess_renders(renders, cam, max_nr_samples_per_ray=16)
+    vol = out["volumetric"]
+    assert vol["rgb"].shape == (h, w, 3)
+    assert vol["uv"].shape == (h, 2 * w, 3)  # surfaces stacked on the row
+    for key, img in vol.items():
+        assert np.isfinite(img).all() and img.min() >= 0.0 and img.max() <= 1.0
+    # normals remap
+    np.testing.assert_allclose(
+        vol["normals"],
+        (renders["volumetric"]["normals"].reshape(h, w, 3) + 1) / 2,
+        atol=1e-6,
+    )
+    # depth uses jet: min -> blue, max -> red
+    d = vol["depth"].reshape(-1, 3)
+    assert d[0, 2] >= 0.5 and d[-1, 0] >= 0.5 and d[0, 0] < 0.1 and d[-1, 2] < 0.1
+
+    # plots
+    xs = np.linspace(-1, 1, 16)
+    X, Y = np.meshgrid(xs, xs)
+    sdf = (np.sqrt(X**2 + Y**2) - 0.5).ravel()
+    for img in (
+        PP.plot_2d_sdf(sdf, 16, 16),
+        PP.plot_2d_sdfs([sdf, sdf + 0.1], 16, 16),
+        PP.plot_2d_sdfs_together([sdf, sdf + 0.1], 16, 16),
+        PP.plot_2d_density(np.exp(-sdf * 4), 16, 16),
+        PP.plot_2d_occupancy(sdf < 0, 16, 16),
+    ):
+        assert img.ndim == 3 and img.shape[-1] == 3 and np.isfinite(img).all()
