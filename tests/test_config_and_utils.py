@@ -226,3 +226,28 @@ def test_postprocess_renders_and_plots():
         PP.plot_2d_occupancy(sdf < 0, 16, 16),
     ):
         assert img.ndim == 3 and img.shape[-1] == 3 and np.isfinite(img).all()
+
+
+def test_view_3d_sdf_renders_level_set():
+    """Headless view_3d_sdf (reference plotting_3d.py open3d window):
+    sphere SDF -> shaded image with the silhouette darker than the white
+    background."""
+    import numpy as np
+
+    from volsurfs_tpu.utils.postprocessing import view_3d_sdf, view_3d_sdfs
+
+    def sdf(p):
+        return np.linalg.norm(p, axis=-1) - 0.5
+
+    img = view_3d_sdf(sdf, nr_points_per_dim=24, width=48, height=48)
+    assert img.shape == (48, 48, 3) and np.isfinite(img).all()
+    center = img[20:28, 20:28]
+    assert center.mean() < 0.98  # object visible
+    assert img[0, 0].min() > 0.99  # corner is background
+
+    def sdfs(p):
+        d = np.linalg.norm(p, axis=-1)
+        return np.stack([d - 0.5, d - 0.3], -1)
+
+    row = view_3d_sdfs(sdfs, 2, nr_points_per_dim=16, width=32, height=32)
+    assert row.shape == (32, 64, 3)

@@ -34,7 +34,7 @@ from volsurfs_tpu.ops import samples as S
 from volsurfs_tpu.ops import volume_rendering as VR
 from volsurfs_tpu.ops.occupancy import make_grid
 from volsurfs_tpu.utils import losses as L
-from volsurfs_tpu.utils.math import safe_norm, safe_normalize, small_cumprod
+from volsurfs_tpu.utils.math import safe_norm, safe_normalize, small_cumprod, take_rev
 from volsurfs_tpu.utils.schedules import (
     get_logistic_beta_from_variance,
     logistic_distribution_stdev,
@@ -419,8 +419,8 @@ class OffsetsSurfs:
 
         # blend outer -> inner: T_k = cumprod(1 - alpha) over the flipped order
         # (reference offsets_surfs.py:602-665)
-        rgb_o2i = jnp.flip(surfs_rgb, axis=1)
-        alpha_o2i = jnp.flip(surfs_alpha, axis=1)
+        rgb_o2i = take_rev(surfs_rgb, axis=1)
+        alpha_o2i = take_rev(surfs_alpha, axis=1)
         # unrolled: the surfaces axis is tiny and jnp.cumprod's
         # reduce-window lowering trips a TPU fusion-emitter CHECK in the
         # color-init stop-gradient graph (see utils/math.small_cumprod)
@@ -457,7 +457,7 @@ class OffsetsSurfs:
             "surfs_normals": jnp.stack(surfs_normals, axis=1),
             "surfs_depths": jnp.stack(surfs_depths, axis=1),
             "surfs_weight_sum": jnp.stack(surfs_weight_sum, axis=1),
-            "surfs_blending_weights": jnp.flip(blending_weights, axis=1),
+            "surfs_blending_weights": take_rev(blending_weights, axis=1),
             "nr_samples": samples.samples_per_ray(),
             "samples": samples,
             "samples_sdfs": sdfs,

@@ -27,7 +27,7 @@ from volsurfs_tpu.models.textures import SHNeuralTextures
 from volsurfs_tpu.ops import bvh as B
 from volsurfs_tpu.ops import raycast as RC
 from volsurfs_tpu.utils import losses as L
-from volsurfs_tpu.utils.math import small_cumprod
+from volsurfs_tpu.utils.math import small_cumprod, take_rev
 
 
 class VolSurfs:
@@ -266,8 +266,8 @@ class VolSurfs:
         surfs_hits = jnp.stack(surfs_hits, axis=1)  # [R, k]
 
         # float16 compositing outer -> inner (reference volsurfs.py:602-640)
-        rgb_o2i = jnp.flip(surfs_rgb, axis=1).astype(jnp.float16)
-        alpha_o2i = jnp.flip(surfs_alpha, axis=1).astype(jnp.float16)
+        rgb_o2i = take_rev(surfs_rgb, axis=1).astype(jnp.float16)
+        alpha_o2i = take_rev(surfs_alpha, axis=1).astype(jnp.float16)
         # unrolled over the tiny mesh axis (TPU fusion-emitter CHECK on
         # fused interleaved scans; see utils/math.small_cumprod)
         transmittances = small_cumprod(1.0 - alpha_o2i, axis=1)
@@ -307,7 +307,7 @@ class VolSurfs:
             "surfs_normals": jnp.stack(surfs_normals, axis=1),
             "surfs_depths": jnp.stack(surfs_depths, axis=1),
             "surfs_uvs": jnp.stack(surfs_uvs, axis=1),
-            "surfs_blending_weights": jnp.flip(blending, axis=1).astype(jnp.float32),
+            "surfs_blending_weights": take_rev(blending, axis=1).astype(jnp.float32),
         }
 
     # ---- loss (reference volsurfs.py:763-816: L1 only) --------------------------

@@ -18,6 +18,7 @@ from volsurfs_tpu.models.encodings import get_encoder
 from volsurfs_tpu.models.mlp import MLP, LipshitzMLP
 from volsurfs_tpu.ops.sh import num_sh_coeffs, sh_basis, sh_eval
 from volsurfs_tpu.utils.math import small_cumsum as _small_cumsum
+from volsurfs_tpu.utils.math import take_rev
 
 
 class SDF(nn.Module):
@@ -152,7 +153,7 @@ class OffsetsSDF(nn.Module):
         outer_eps = -jax.nn.softplus(eps[..., : self.nr_outer_surfs])
         cum_outer_eps = _small_cumsum(outer_eps, -1) - self.min_offset
         cum_inner_eps = _small_cumsum(inner_eps, -1) + self.min_offset
-        cum_inner_eps = jnp.flip(cum_inner_eps, axis=-1)
+        cum_inner_eps = take_rev(cum_inner_eps, axis=-1)
         return cum_inner_eps, cum_outer_eps, inner_eps, outer_eps
 
     def __call__(
@@ -217,11 +218,11 @@ class OffsetsSDF(nn.Module):
             ..., : self.nr_outer_surfs, :
         ]
         cum_outer = _small_cumsum(outer_eps, -1) - self.min_offset
-        cum_inner = jnp.flip(
+        cum_inner = take_rev(
             _small_cumsum(inner_eps, -1) + self.min_offset, axis=-1
         )
         dcum_outer = _small_cumsum(douter, -2)
-        dcum_inner = jnp.flip(_small_cumsum(dinner, -2), axis=-2)
+        dcum_inner = take_rev(_small_cumsum(dinner, -2), axis=-2)
 
         sdfs = jnp.concatenate(
             [sdf + cum_inner, sdf, sdf + cum_outer], axis=-1

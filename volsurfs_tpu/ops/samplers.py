@@ -132,9 +132,10 @@ def rays_t_near_t_far_in_occupancy(
     occ = occ & (seg > 0.0)
     any_occ = jnp.any(occ, axis=1, keepdims=True)
     first = jnp.argmax(occ, axis=1, keepdims=True).astype(jnp.float32)
-    last = (K0 - 1) - jnp.argmax(occ[:, ::-1], axis=1, keepdims=True).astype(
-        jnp.float32
-    )
+    rev_idx = jnp.arange(K0 - 1, -1, -1, dtype=jnp.int32)
+    last = (K0 - 1) - jnp.argmax(
+        jnp.take(occ, rev_idx, axis=1), axis=1, keepdims=True
+    ).astype(jnp.float32)
     t0 = t_near + first * seg
     t1 = t_near + (last + 1.0) * seg
     t0 = jnp.where(any_occ, t0, t_near)

@@ -26,7 +26,7 @@ from volsurfs_tpu.baking import mesh_io
 from volsurfs_tpu.models.textures import DEG_NR_COEFFS
 from volsurfs_tpu.ops import bvh as B
 from volsurfs_tpu.ops.sh import sh_eval
-from volsurfs_tpu.utils.math import small_cumprod
+from volsurfs_tpu.utils.math import small_cumprod, take_rev
 from volsurfs_tpu.renderers import raster
 
 
@@ -349,8 +349,8 @@ class BakedMeshRenderer:
         """fp16 outer->inner alpha compositing over the mesh axis (reference
         volsurfs.py:602-640 blending). surfs_rgb [N, M, 3] f16 (mesh order =
         scene order, innermost first), surfs_alpha [N, M, 1] f16."""
-        rgb_o2i = jnp.flip(surfs_rgb, axis=1)
-        alpha_o2i = jnp.flip(surfs_alpha, axis=1)
+        rgb_o2i = take_rev(surfs_rgb, axis=1)
+        alpha_o2i = take_rev(surfs_alpha, axis=1)
         T = small_cumprod(1.0 - alpha_o2i, axis=1)
         if len(self.meshes) == 1:
             surfs_T = jnp.ones_like(T)

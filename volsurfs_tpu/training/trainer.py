@@ -168,6 +168,28 @@ class Trainer:
             )
         )
 
+    def _train_step_with_retry(self, state, batch, max_retries: int = 2):
+        """One train step, retrying INTERNAL compiler crashes.
+
+        The TPU compile service occasionally aborts on an autotuned fusion
+        choice (fusion_emitter CHECK via remote_compile SIGABRT) that a
+        recompile of the SAME graph does not take — observed on the offsets
+        color-init phase switch. Failed compiles are not cached, so a retry
+        re-runs compilation; genuine errors still raise after max_retries.
+        """
+        for attempt in range(max_retries + 1):
+            try:
+                return self.method.train_step(state, batch)
+            except Exception as e:  # jax.errors.JaxRuntimeError
+                transient = "INTERNAL" in str(e) or "SIGABRT" in str(e)
+                if not transient or attempt == max_retries:
+                    raise
+                print(
+                    f"train_step compile crashed (attempt {attempt + 1}), "
+                    f"retrying: {str(e)[:120]}",
+                    flush=True,
+                )
+
     def train(self, state, end_iter: int | None = None, callback=None):
         hp = self.method.hp
         tp = self.train_params
@@ -201,7 +223,7 @@ class Trainer:
             if prof:
                 prof.end("ray_gen")
                 prof.start("training_iteration")
-            state, losses = self.method.train_step(state, batch)
+            state, losses = self._train_step_with_retry(state, batch)
             if prof:
                 prof.end("training_iteration")
             it += 1

@@ -14,6 +14,20 @@ def safe_normalize(x, axis=-1, eps: float = 1e-12):
     return x / safe_norm(x, axis=axis, keepdims=True, eps=eps)
 
 
+def take_rev(x, axis: int):
+    """Reverse along a tiny static axis via a constant-index gather.
+
+    jnp.flip lowers to an XLA reverse op; on TPU the fusion emitter's
+    ReverseInput path can CHECK-fail (fusion_emitter.cc window_bounds ==
+    strides) when a reverse feeds certain fused scans — observed
+    intermittently on the offsets color-init train-step compile. A gather
+    with a static reversed iota never takes that path, and the axes
+    reversed here are tiny (nr_surfs <= 9)."""
+    k = x.shape[axis]
+    idx = jnp.arange(k - 1, -1, -1, dtype=jnp.int32)
+    return jnp.take(x, idx, axis=axis)
+
+
 def small_cumsum(x, axis: int):
     """Unrolled cumulative sum along a tiny static axis (e.g. the nr_surfs
     axis, <= ~9). jnp.cumsum/cumprod lower to reduce-windows that the TPU

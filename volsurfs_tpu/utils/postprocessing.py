@@ -200,3 +200,78 @@ def plot_2d_occupancy(occupancy, width: int, height: int, dpi=72) -> np.ndarray:
         np.asarray(occupancy, np.float32).reshape(height, width),
         cmap="gray", vmin=0.0, vmax=1.0, dpi=dpi,
     )
+
+
+def view_3d_sdf(
+    sdf_fn,
+    nr_points_per_dim: int = 96,
+    bounds: float = 1.0,
+    width: int = 500,
+    height: int = 500,
+    level: float = 0.0,
+    cam_dir=(1.0, 1.0, 0.8),
+    color=(0.7, 0.7, 0.9),
+) -> np.ndarray:
+    """Render the SDF's level-set mesh to a shaded image.
+
+    Headless equivalent of the reference's open3d window
+    (volsurfs_py/utils/plotting_3d.py:7-31 view_3d_sdf): extract the level
+    set (baking/marching), trace a camera's rays against it (ops/bvh) and
+    shade with a lambert term on the normals. Returns [h, w, 3] float in
+    [0, 1] instead of opening a window.
+    """
+    import jax.numpy as jnp
+
+    from volsurfs_tpu.baking.marching import extract_mesh_from_fn
+    from volsurfs_tpu.datasets.cameras import get_camera_rays, look_at_pose, Camera
+    from volsurfs_tpu.ops.bvh import build_bvh, trace
+
+    verts, faces = extract_mesh_from_fn(
+        sdf_fn, resolution=nr_points_per_dim, bounds=bounds, level=level
+    )[:2]
+    if verts.shape[0] == 0:
+        return np.ones((height, width, 3), np.float32)
+    bvh = build_bvh(np.asarray(verts, np.float32), np.asarray(faces, np.int32))
+    eye = 2.6 * bounds * np.asarray(cam_dir, np.float32) / np.linalg.norm(cam_dir)
+    f = 0.9 * height
+    intr = np.asarray(
+        [[f, 0, width / 2], [0, f, height / 2], [0, 0, 1]], np.float32
+    )
+    cam = Camera(intr, look_at_pose(eye), width, height)
+    rays_o, rays_d = get_camera_rays(cam)
+    out = trace(bvh, jnp.asarray(rays_o), jnp.asarray(rays_d))
+    light = (eye / np.linalg.norm(eye)).astype(np.float32)  # headlight
+    v = np.asarray(verts, np.float32)
+    fc = np.asarray(faces, np.int32)
+    fn = np.cross(v[fc[:, 1]] - v[fc[:, 0]], v[fc[:, 2]] - v[fc[:, 0]])
+    fn = fn / np.maximum(np.linalg.norm(fn, axis=-1, keepdims=True), 1e-12)
+    tri = np.clip(np.asarray(out["triangles_id"]), 0, fc.shape[0] - 1)
+    lam = np.abs(fn[tri] @ light)
+    hit = np.asarray(out["is_hit"])[:, None]
+    col = np.asarray(color, np.float32)[None, :]
+    shaded = (0.25 + 0.75 * lam[:, None]) * col
+    img = np.where(hit, shaded, 1.0).astype(np.float32)
+    return img.reshape(height, width, 3)
+
+
+def view_3d_sdfs(
+    sdfs_fn,
+    nr_sdfs: int,
+    nr_points_per_dim: int = 96,
+    bounds: float = 1.0,
+    width: int = 500,
+    height: int = 500,
+) -> np.ndarray:
+    """All level sets rendered side by side (reference plotting_3d.py:34-64
+    renders them in one open3d window; headlessly a row image is the
+    equivalent artifact). ``sdfs_fn(pts)`` -> [N, nr_sdfs] values."""
+    rng = np.random.default_rng(0)
+    imgs = [
+        view_3d_sdf(
+            lambda p, i=i: np.asarray(sdfs_fn(p))[..., i],
+            nr_points_per_dim, bounds, width, height,
+            color=tuple(0.4 + 0.6 * rng.random(3)),
+        )
+        for i in range(nr_sdfs)
+    ]
+    return np.concatenate(imgs, axis=1)
