@@ -291,13 +291,16 @@ _TABLE_GRAD_MODE = "flat"
 
 def set_table_grad_mode(mode: str):
     global _TABLE_GRAD_MODE
-    assert mode in ("flat", "sorted"), mode
+    assert mode in ("flat", "sorted", "zero"), mode  # zero = profiling ablation
     _TABLE_GRAD_MODE = mode
 
 
 def _table_grad_scatter(rows, upd, table_rows: int, dtype):
     """Accumulate upd [M, F] into rows [M] of a zero [table_rows, F] table."""
     F = upd.shape[-1]
+    if _TABLE_GRAD_MODE == "zero":
+        # ablation for profiling: costs of everything EXCEPT the scatter
+        return jnp.zeros((table_rows, F), dtype) + 0.0 * upd[0]
     if _TABLE_GRAD_MODE == "sorted":
         order = jnp.argsort(rows)
         r = rows[order]
