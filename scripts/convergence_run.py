@@ -12,6 +12,9 @@ parser.add_argument("--init_iters", type=int, default=None,
                          "reference spends 5k/100k iters on init; short "
                          "schedules need proportionally more)")
 parser.add_argument("--platform", default=None)
+parser.add_argument("--res", type=int, default=64)
+parser.add_argument("--rays", type=int, default=256)
+parser.add_argument("--occupancy_res", type=int, default=64)
 parser.add_argument("--out", default="runs/convergence")
 args = parser.parse_args()
 
@@ -28,7 +31,7 @@ from volsurfs_tpu.utils.evaluation import render_and_eval
 
 hp = HyperParamsSuRF(
     is_nr_training_rays_dynamic=False,
-    training_rays_batch_size=256,
+    training_rays_batch_size=args.rays,
     max_nr_samples_per_ray=32,
     max_nr_imp_samples_per_ray=16,
     do_importance_sampling=True,
@@ -45,8 +48,8 @@ hp = HyperParamsSuRF(
     sdf_nr_iters_for_c2f=args.iters // 2,  # reference trains c2f on (5k/100k)
     nr_samples_bg=8,
 )
-mv = MVDataset("synthetic", "sphere", "", config={"width": 64, "height": 64, "nr_train_cameras": 24, "nr_test_cameras": 4})
-method = Surf(hp, make_bounding_sphere(1.0), bg_color="white", init_sphere_radius=0.4, occupancy_res=64, key=jax.random.PRNGKey(0))
+mv = MVDataset("synthetic", "sphere", "", config={"width": args.res, "height": args.res, "nr_train_cameras": 24, "nr_test_cameras": 4})
+method = Surf(hp, make_bounding_sphere(1.0), bg_color="white", init_sphere_radius=0.4, occupancy_res=args.occupancy_res, key=jax.random.PRNGKey(0))
 trainer = Trainer(method, mv, args.out, log_every=100)
 t0 = time.time()
 state = trainer.train(method.init_state())
