@@ -377,21 +377,12 @@ class BakedMeshRenderer:
             alphas.append(alpha)
         return self._composite(jnp.stack(rgbs, 1), jnp.stack(alphas, 1))
 
-    def _render_frame_tiles(self, scene, intrinsics, c2w, w2c, *, width,
-                            height, nr_cand, use_cull=False, nr_blocks=0):
-        """One whole frame via the tile-binned rasterizer (renderers/raster.py):
-        dense per-tile candidate loops instead of per-ray BVH pointer chasing.
-
-        nr_blocks enables PER-MESH block compaction (an int applies to every
-        mesh, a per-mesh tuple gives each shell its own budget, 0 disables):
-        each mesh ray-triangle tests, texture-filters and SH-shades only the
-        screen blocks its own candidate triangles touch; compositing runs on
-        the full tile grid from the scattered per-mesh f16 buffers. Blocks
-        beyond a budget count into the block component of `overflow` (the
-        caller retries uncompacted).
-
-        Returns (img, overflow [2] int32: [candidate-list overflows,
-        block-budget overflows]) so the retry can grow the right budget."""
+    def _raster_frame_core(self, scene, intrinsics, c2w, w2c, *, width,
+                           height, nr_cand, use_cull=False, nr_blocks=0):
+        """Bin + per-mesh block compaction + ONE batched candidate scan —
+        the geometry half of the frame, shared by the shading path
+        (`_render_frame_tiles`) and the budget pre-passes. Returns a dict of
+        per-mesh hit buffers plus the candidate/block overflow counters."""
         bh, bw = self._BLOCK_H, self._BLOCK_W
         dirs, origin = raster.tile_rays(
             intrinsics, c2w, width, height, tile_h=bh, tile_w=bw
