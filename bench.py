@@ -107,6 +107,7 @@ def main():
     img = renderer.render_frame(cam(0))
     assert img.shape == (res, res, 3)
     assert float(np.isfinite(img).mean()) == 1.0
+    assert sum(renderer.fallback_counts.values()) == 0, renderer.fallback_counts
 
     cams = [cam(i) for i in range(nr_frames)]
     # candidate + block-compaction budgets for this orbit (binning-counts

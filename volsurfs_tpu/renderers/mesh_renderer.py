@@ -216,6 +216,9 @@ class BakedMeshRenderer:
             self._count_blocks_scan,
             static_argnames=("width", "height", "use_cull"),
         )
+        # budget-overflow retries/fallbacks taken by render_frame: silent
+        # perf cliffs must be countable by callers (bench asserts zero)
+        self.fallback_counts = {"cand_overflow": 0, "block_overflow": 0}
 
     # ---- lazy pieces ---------------------------------------------------------
 
@@ -377,12 +380,12 @@ class BakedMeshRenderer:
             alphas.append(alpha)
         return self._composite(jnp.stack(rgbs, 1), jnp.stack(alphas, 1))
 
-    def _raster_frame_core(self, scene, intrinsics, c2w, w2c, *, width,
-                           height, nr_cand, use_cull=False, nr_blocks=0):
-        """Bin + per-mesh block compaction + ONE batched candidate scan —
-        the geometry half of the frame, shared by the shading path
-        (`_render_frame_tiles`) and the budget pre-passes. Returns a dict of
-        per-mesh hit buffers plus the candidate/block overflow counters."""
+    def _render_frame_tiles(self, scene, intrinsics, c2w, w2c, *, width,
+                            height, nr_cand, use_cull=False, nr_blocks=0):
+        """One rasterized frame: bin + per-mesh block compaction + ONE
+        batched candidate scan + per-mesh shading + outer->inner
+        compositing. Returns (img tiles reassembled [H, W, 3],
+        [candidate, block] overflow counters)."""
         bh, bw = self._BLOCK_H, self._BLOCK_W
         dirs, origin = raster.tile_rays(
             intrinsics, c2w, width, height, tile_h=bh, tile_w=bw
@@ -646,15 +649,38 @@ class BakedMeshRenderer:
         (a drop would otherwise leave holes); candidate and block overflow
         are reported separately so only the exhausted budget grows.
         Backfaces are culled whenever the camera is outside every shell
-        (never changes the closest hit there)."""
+        (never changes the closest hit there).
+
+        Every retry is counted in ``self.fallback_counts`` ("cand_overflow",
+        "block_overflow") and warned once per renderer — a too-tight budget
+        silently halving throughput is a perf bug, not normal operation."""
+        import warnings
+
         while True:
             img, overflow = self.render_frame_device(camera, nr_cand, nr_blocks)
             cand_ovf, blk_ovf = (int(x) for x in np.asarray(overflow))
             if (cand_ovf == 0 or nr_cand >= 8192) and blk_ovf == 0:
                 return np.asarray(img)
             if blk_ovf:
+                self.fallback_counts["block_overflow"] += 1
+                if self.fallback_counts["block_overflow"] == 1:
+                    warnings.warn(
+                        "render_frame: block budget overflowed — falling back"
+                        " to the uncompacted frame (each such frame re-shades"
+                        " the full tile grid; raise nr_blocks or rerun"
+                        " suggest_budgets)",
+                        stacklevel=2,
+                    )
                 nr_blocks = 0  # fall back to the uncompacted frame
             if cand_ovf:
+                self.fallback_counts["cand_overflow"] += 1
+                if self.fallback_counts["cand_overflow"] == 1:
+                    warnings.warn(
+                        f"render_frame: candidate budget {nr_cand} overflowed"
+                        " — doubling and re-rendering (each retry is a full"
+                        " extra frame; raise nr_cand)",
+                        stacklevel=2,
+                    )
                 nr_cand *= 2
 
     def render(self, camera, chunk_size: int = 65536):
