@@ -64,6 +64,81 @@ def test_entry_compiles():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_data_parallel_training_matches_single_device(tmp_path_factory):
+    """A data-parallel Trainer run (rays sharded over the 8-device mesh,
+    state replicated, GSPMD gradient psum) must reproduce the single-device
+    loss trajectory — including occupancy-grid refreshes under sharding
+    (SURVEY.md §5.8; VERDICT r2 item 4). Same seeds -> same batches; the
+    only difference is the sharding, so losses agree to float tolerance."""
+    from volsurfs_tpu.datasets.mvdataset import MVDataset
+    from volsurfs_tpu.methods.surf import Surf
+    from volsurfs_tpu.ops.raycast import make_bounding_sphere
+    from volsurfs_tpu.params.hyper_params import HyperParamsSuRF
+    from volsurfs_tpu.training.trainer import Trainer
+
+    def run(data_parallel: bool):
+        hp = HyperParamsSuRF(
+            is_nr_training_rays_dynamic=False,
+            training_rays_batch_size=64,
+            max_nr_samples_per_ray=16,
+            max_nr_imp_samples_per_ray=8,
+            do_importance_sampling=True,
+            init_phase_end_iter=10,
+            first_phase_end_iter=100,
+            training_end_iter=30,
+            nr_warmup_iters=5,
+            lr=3e-3,
+            lr_milestones=[10000],
+            eikonal_weight=0.04,
+            offsurface_weight=1e-4,
+            curvature_weight=0.0,
+            geom_feat_size=16,
+            sdf_nr_iters_for_c2f=0,
+            sdf_encoding_type="gridhash",
+            rgb_pos_encoder_type="gridhash",
+            nr_samples_bg=8,
+        )
+        mv = MVDataset(
+            "synthetic", "sphere", "",
+            config={"width": 32, "height": 32, "nr_train_cameras": 6,
+                    "nr_test_cameras": 2},
+        )
+        method = Surf(
+            hp, make_bounding_sphere(1.0), bg_color="white",
+            init_sphere_radius=0.4, occupancy_res=24,
+            key=jax.random.PRNGKey(0),
+        )
+        run_dir = str(
+            tmp_path_factory.mktemp(f"dp_{int(data_parallel)}")
+        )
+        trainer = Trainer(
+            method, mv, run_dir, log_every=100, seed=0,
+            update_occupancy_every=10,  # two refreshes land mid-run
+            data_parallel=data_parallel,
+        )
+        losses = []
+        trainer.train(
+            method.init_state(),
+            callback=lambda it, st, ls: losses.append(float(ls["loss"])),
+        )
+        return np.asarray(losses)
+
+    single = run(False)
+    sharded = run(True)
+    assert single.shape == sharded.shape
+    assert np.isfinite(sharded).all()
+    # identical batch, identical init: the FIRST step differs only by the
+    # psum reduction order, so its loss must agree to float noise — this is
+    # the check that catches sharding math bugs (dropped rays, double
+    # counting, wrong psum axis)
+    np.testing.assert_allclose(sharded[0], single[0], rtol=1e-4, atol=1e-6)
+    # the per-step float noise compounds through optimization, so the full
+    # trajectory gets a band, not equality: tracks within 5% everywhere and
+    # ends at the same loss level
+    np.testing.assert_allclose(sharded, single, rtol=5e-2, atol=1e-3)
+    assert abs(sharded[-1] - single[-1]) / single[-1] < 0.02
+
+
 def test_render_rays_sharded_helper():
     """render_rays_sharded pads, shards and strips padding correctly."""
     from flax import struct

@@ -69,6 +69,7 @@ class Trainer:
         callbacks=None,
         profiler=None,
         distiller=None,
+        data_parallel: bool = False,
     ):
         self.method = method
         self.mv_data = mv_data
@@ -99,6 +100,22 @@ class Trainer:
         self._rays_bucket = int(method.hp.training_rays_batch_size)
         self._min_bucket = max(32, self._rays_bucket // 8)
         self._max_bucket = self._rays_bucket * 8
+        # data-parallel TRAINING over rays (SURVEY.md §5.8): each batch is
+        # sharded on its ray axis across a 1-D device mesh, the TrainState
+        # (params, optimizer, occupancy grid, rng) replicated; GSPMD inserts
+        # the gradient psum over ICI. Identical math to single device — the
+        # occupancy refresh runs replicated with identical RNG per replica.
+        self.data_parallel = bool(data_parallel) and len(jax.devices()) > 1
+        self._mesh = None
+        if self.data_parallel:
+            from volsurfs_tpu.parallel import mesh as M
+
+            self._mesh = M.make_mesh()
+            # ray buckets must divide evenly into shards
+            m = self._mesh.size
+            self._rays_bucket = max(-(-self._rays_bucket // m) * m, m)
+            self._min_bucket = max(-(-self._min_bucket // m) * m, m)
+            self._max_bucket = max(-(-self._max_bucket // m) * m, m)
         self._batch_fn_cache = {}
         self._test_loss_fn = None
         self.loss_history = []
@@ -135,7 +152,11 @@ class Trainer:
         target = float(hp.target_nr_of_training_samples)
         ideal = self._rays_bucket * target / actual
         bucket = 2 ** int(round(np.log2(max(ideal, 1.0))))
-        self._rays_bucket = int(np.clip(bucket, self._min_bucket, self._max_bucket))
+        bucket = int(np.clip(bucket, self._min_bucket, self._max_bucket))
+        if self._mesh is not None:  # keep buckets shard-divisible
+            m = self._mesh.size
+            bucket = -(-bucket // m) * m
+        self._rays_bucket = bucket
 
     def estimate_test_loss(self, state):
         """RGB L1 on a random test-ray batch
@@ -196,6 +217,10 @@ class Trainer:
         end_iter = end_iter if end_iter is not None else hp.training_end_iter
         t_start = time.time()
         it = int(state.iter_nr)
+        if self.data_parallel:
+            from volsurfs_tpu.parallel import mesh as M
+
+            state = M.replicate_state(state, self._mesh)
         if self.callbacks is not None:
             self.callbacks.training_started()
         while it < end_iter:
@@ -220,6 +245,10 @@ class Trainer:
                 # (reference trainer.py:150-175 distillation rays)
                 self._batch_key, kd = jax.random.split(self._batch_key)
                 batch = self.distiller.mix_batch(batch, kd)
+            if self.data_parallel:
+                from volsurfs_tpu.parallel import mesh as M
+
+                batch = M.shard_ray_batch(batch, self._mesh)
             if prof:
                 prof.end("ray_gen")
                 prof.start("training_iteration")
@@ -375,6 +404,10 @@ def main():
     parser.add_argument("--subsample_factor", type=int, default=None)
     parser.add_argument("--occupancy_res", type=int, default=256)
     parser.add_argument("--continue_training", action="store_true")
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="shard each training ray batch across all local "
+                             "devices (1-D mesh, replicated params; SURVEY.md "
+                             "§5.8) — identical math to single device")
     parser.add_argument("--eval_test", action="store_true")
     parser.add_argument("--eval_train", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
@@ -460,7 +493,8 @@ def main():
             state = state.replace(params=params)
 
     trainer = Trainer(
-        method, mv_data, run_dir, seed=args.seed, train_params=train_params
+        method, mv_data, run_dir, seed=args.seed, train_params=train_params,
+        data_parallel=args.data_parallel,
     )
     if args.continue_training:
         state = checkpoints.load_checkpoint(
