@@ -346,16 +346,25 @@ def main():
         # shells were loaded from another stage's directory, copy them in
         # (reference volsurfs.py:79-101 copies meshes into the run dir)
         local_meshes = os.path.join(run_dir, "meshes")
-        if args.meshes_path and os.path.abspath(args.meshes_path) != \
-                os.path.abspath(local_meshes):
+        # mesh_files is the (possibly meshes_indices-subset) selection in
+        # method order; scene.json hardcodes meshes/{i}.obj, so the selection
+        # must ALWAYS be renumbered 0..k-1 — even when it was loaded from
+        # run_dir/meshes with non-sequential names or an index subset. Read
+        # the bytes first: with an in-place subset, destination names can
+        # collide with not-yet-read sources.
+        needs_renumber = (
+            os.path.abspath(meshes_dir) != os.path.abspath(local_meshes)
+            or mesh_files != [f"{i}.obj" for i in range(len(mesh_files))]
+        )
+        if needs_renumber:
+            blobs = [
+                open(os.path.join(meshes_dir, f), "rb").read()
+                for f in mesh_files
+            ]
             os.makedirs(local_meshes, exist_ok=True)
-            import shutil
-
-            # mesh_files is the (possibly meshes_indices-subset) selection in
-            # method order; renumber 0..k-1 to match scene.json mesh_path
-            for i, f in enumerate(mesh_files):
-                shutil.copy(os.path.join(args.meshes_path, f),
-                            os.path.join(local_meshes, f"{i}.obj"))
+            for i, blob in enumerate(blobs):
+                with open(os.path.join(local_meshes, f"{i}.obj"), "wb") as fh:
+                    fh.write(blob)
         meshes_info = bake_textures(method, state, run_dir)
         scene_path = export_scene_json(
             run_dir, meshes_info, mv_data,

@@ -290,9 +290,16 @@ _TABLE_GRAD_MODE = "flat"
 
 
 def set_table_grad_mode(mode: str):
+    """Switch the table-gradient scatter formulation.
+
+    The mode is read at TRACE time, so already-jitted train steps would
+    silently keep their old mode; changing the mode therefore clears the
+    jit caches to force a retrace of every compiled function."""
     global _TABLE_GRAD_MODE
     assert mode in ("flat", "sorted", "zero"), mode  # zero = profiling ablation
-    _TABLE_GRAD_MODE = mode
+    if mode != _TABLE_GRAD_MODE:
+        _TABLE_GRAD_MODE = mode
+        jax.clear_caches()
 
 
 def _table_grad_scatter(rows, upd, table_rows: int, dtype):
