@@ -110,15 +110,16 @@ def main():
     assert sum(renderer.fallback_counts.values()) == 0, renderer.fallback_counts
 
     cams = [cam(i) for i in range(nr_frames)]
-    # candidate + block-compaction budgets for this orbit (binning-counts
-    # pre-pass: the scan is linear in nr_cand, shading in nr_blocks)
-    nr_cand, nr_blocks = renderer.suggest_budgets(cams)
-    # compile the batched executable, verify no candidate/block overflow
+    # candidate + block + shade-tile budgets for this orbit (binning-counts
+    # + raster-hit pre-passes: the scan is linear in nr_cand, shading in
+    # nr_shade_tiles)
+    nr_cand, nr_blocks, nr_shade = renderer.suggest_budgets(cams)
+    # compile the batched executable, verify no overflow anywhere
     imgs, ovf = renderer.render_frames_device(
-        cams, nr_cand=nr_cand, nr_blocks=nr_blocks
+        cams, nr_cand=nr_cand, nr_blocks=nr_blocks, nr_shade_tiles=nr_shade
     )
     if int(np.sum(ovf)) != 0:  # margin too tight — fall back to safe defaults
-        nr_cand, nr_blocks = 256, 0
+        nr_cand, nr_blocks, nr_shade = 256, 0, 0
         imgs, ovf = renderer.render_frames_device(cams, nr_cand=nr_cand)
     assert int(np.sum(ovf)) == 0
     assert np.isfinite(np.asarray(imgs[-1])).all()
@@ -128,7 +129,7 @@ def main():
     # pure overhead, not device work); sync once via an on-device scalar
     t0 = time.perf_counter()
     imgs, _ = renderer.render_frames_device(
-        cams, nr_cand=nr_cand, nr_blocks=nr_blocks
+        cams, nr_cand=nr_cand, nr_blocks=nr_blocks, nr_shade_tiles=nr_shade
     )
     acc = float(imgs.mean())  # forces completion of every frame
     dt = time.perf_counter() - t0

@@ -79,8 +79,9 @@ def main():
         return oc.camera()
 
     cams = [mk_cam(i) for i in range(16)]
-    nr_cand, nr_blocks = r.suggest_budgets(cams)
-    print(f"budgets: nr_cand={nr_cand} nr_blocks={nr_blocks}", flush=True)
+    nr_cand, nr_blocks, nr_shade = r.suggest_budgets(cams)
+    print(f"budgets: nr_cand={nr_cand} nr_blocks={nr_blocks} "
+          f"nr_shade_tiles={nr_shade}", flush=True)
     cam = cams[3]
 
     c2w = jnp.asarray(cam.pose, jnp.float32)

@@ -260,13 +260,22 @@ def test_block_compaction_matches_full_frame(baked_scene):
     r = BakedMeshRenderer(baked_scene, bg_color="white")
     cam = OrbitCamera(384, 384, radius=2.0).camera()  # 12x6 = 72 blocks
     img_full, ovf_full = r.render_frame_device(cam)
-    _, nr_blocks = r.suggest_budgets([cam])
+    _, nr_blocks, nr_shade = r.suggest_budgets([cam])
     assert isinstance(nr_blocks, tuple) and len(nr_blocks) == len(r.meshes)
     assert any(nb > 0 for nb in nr_blocks)
     img_cmp, ovf_cmp = r.render_frame_device(cam, nr_blocks=nr_blocks)
     assert int(np.sum(np.asarray(ovf_full))) == 0
     assert int(np.sum(np.asarray(ovf_cmp))) == 0
     np.testing.assert_array_equal(np.asarray(img_full), np.asarray(img_cmp))
+
+    # shade-tile compaction (fine 8x16 hit tiles only) is also lossless:
+    # off-hit pixels shade to exact zero
+    assert isinstance(nr_shade, tuple) and any(ns > 0 for ns in nr_shade)
+    img_st, ovf_st = r.render_frame_device(
+        cam, nr_blocks=nr_blocks, nr_shade_tiles=nr_shade
+    )
+    assert int(np.sum(np.asarray(ovf_st))) == 0
+    np.testing.assert_array_equal(np.asarray(img_full), np.asarray(img_st))
 
     # starve the block budget: the BLOCK component of overflow must fire,
     # and render_frame must still return the exact frame via its retry
@@ -275,6 +284,15 @@ def test_block_compaction_matches_full_frame(baked_scene):
     assert int(np.asarray(ovf_small)[0]) == 0
     img_retry = r.render_frame(cam, nr_blocks=1)
     np.testing.assert_array_equal(np.asarray(img_full), img_retry)
+
+    # starve the shade-tile budget: the SHADE component fires, the retry
+    # still returns the exact frame
+    _, ovf_shade = r.render_frame_device(
+        cam, nr_blocks=nr_blocks, nr_shade_tiles=1
+    )
+    assert int(np.asarray(ovf_shade)[2]) > 0
+    img_retry2 = r.render_frame(cam, nr_blocks=nr_blocks, nr_shade_tiles=1)
+    np.testing.assert_array_equal(np.asarray(img_full), img_retry2)
 
 
 def test_render_turntable_uses_budgeted_raster_path(baked_scene, tmp_path):

@@ -210,3 +210,50 @@ def test_rays_t_near_t_far_in_occupancy():
     assert z0.size > 0
     assert (z0 >= 1.2 - 2 * step).all() and (z0 <= 1.5 + 2 * step).all()
     assert not np.asarray(samples.mask[1]).any()
+
+
+def test_clipping_never_drops_spans_the_march_would_find():
+    """With the default probe grid (== the march midpoint grid), clipping
+    can only tighten: every ray that gets samples without clipping also
+    gets samples with clipping, even for occupancy bands so thin a coarse
+    probe would miss them entirely (ADVICE r2: a 128-step probe gating a
+    512-step march collapsed such rays to 0 samples)."""
+    # a band thinner than 1/128 of the ray span but wider than 1/512
+    def occupancy_lookup(pts):
+        return jnp.abs(pts[:, 2] - 0.737) < 0.004  # width 0.008 < 3/128
+
+    R = 8
+    rays_o = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]]), (R, 1))
+    zoff = jnp.linspace(-0.02, 0.02, R)[:, None]
+    rays_o = rays_o + zoff * jnp.asarray([[0.0, 0.0, 1.0]])
+    rays_d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (R, 1))
+    t_near = jnp.zeros((R, 1))
+    t_far = jnp.full((R, 1), 3.0)
+
+    kw = dict(
+        min_dist_between_samples=1e-4, min_nr_samples_per_ray=1,
+        max_nr_samples_per_ray=16, key=None, nr_march_steps=512,
+    )
+    unclipped = SP.compute_samples_fg_in_occupied_regions(
+        rays_o, rays_d, t_near, t_far, occupancy_lookup,
+        clip_to_occupancy=False, **kw,
+    )
+    clipped = SP.compute_samples_fg_in_occupied_regions(
+        rays_o, rays_d, t_near, t_far, occupancy_lookup,
+        clip_to_occupancy=True, **kw,  # probe defaults to the march grid
+    )
+    has_unclipped = np.asarray(unclipped.mask).any(axis=1)
+    has_clipped = np.asarray(clipped.mask).any(axis=1)
+    assert has_unclipped.any()  # the band is visible to the 512-step march
+    # clipping must not lose any of those rays
+    assert (has_clipped >= has_unclipped).all()
+
+    # the old coarse probe (128 steps) CAN lose them — the failure mode the
+    # default guards against (kept as a negative control; if this starts
+    # passing the scenario needs to be made thinner)
+    coarse = SP.compute_samples_fg_in_occupied_regions(
+        rays_o, rays_d, t_near, t_far, occupancy_lookup,
+        clip_to_occupancy=True, nr_probe_steps=128, **kw,
+    )
+    has_coarse = np.asarray(coarse.mask).any(axis=1)
+    assert has_coarse.sum() < has_unclipped.sum()

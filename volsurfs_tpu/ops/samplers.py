@@ -108,16 +108,18 @@ def rays_t_near_t_far_in_occupancy(
     t_near,
     t_far,
     occupancy_lookup,
-    nr_probe_steps: int = 128,
+    nr_probe_steps: int = 512,
 ):
     """Tighten each ray's [t_near, t_far] to its first/last occupied probe.
 
     TPU re-design of the reference's occupancy DDA ray clipping
     (kernels/volsurfs/OccupancyGridGPU.cuh:318-396 ``get_rays_t_near_t_far``):
-    instead of a per-ray voxel walk, probe a fixed coarse grid of step
-    midpoints (one batched gather) and reduce to the first/last occupied
-    index with argmax. Rays with no occupied probe collapse to an empty
-    interval at t_near (0 samples downstream).
+    instead of a per-ray voxel walk, probe a fixed grid of step midpoints
+    (one batched gather) and reduce to the first/last occupied index with
+    argmax. Rays with no occupied probe collapse to an empty interval at
+    t_near (0 samples downstream). Callers that gate a fine march on this
+    clip must probe at least as finely as they march (same midpoint grid)
+    so clipping can only tighten, never drop, spans the march would find.
 
     Returns (t_near' [R,1], t_far' [R,1]) with
     t_near <= t_near' <= t_far' <= t_far.
@@ -155,7 +157,7 @@ def compute_samples_fg_in_occupied_regions(
     key: jax.Array | None,
     nr_march_steps: int = 512,
     clip_to_occupancy: bool = False,
-    nr_probe_steps: int = 128,
+    nr_probe_steps: int | None = None,
 ) -> RaySamples:
     """Equispaced samples *within occupied space only*.
 
@@ -178,12 +180,15 @@ def compute_samples_fg_in_occupied_regions(
     K = nr_march_steps
 
     if clip_to_occupancy:
-        # coarse occupancy pre-pass tightens the marched interval so the K
-        # fine steps land at higher effective resolution (reference
+        # occupancy pre-pass tightens the marched interval so the K fine
+        # steps land at higher effective resolution (reference
         # OccupancyGridGPU.cuh:318-396 clips rays the same way before
-        # sampling)
+        # sampling). The probe grid defaults to the SAME midpoint grid the
+        # unclipped march would use, so every occupied midpoint the march
+        # could find is also seen by the probe — clipping only tightens.
         t_near, t_far = rays_t_near_t_far_in_occupancy(
-            rays_o, rays_d, t_near, t_far, occupancy_lookup, nr_probe_steps
+            rays_o, rays_d, t_near, t_far, occupancy_lookup,
+            nr_probe_steps if nr_probe_steps is not None else K,
         )
 
     dist = t_far - t_near  # [R, 1]

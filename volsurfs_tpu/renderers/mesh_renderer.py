@@ -205,20 +205,27 @@ class BakedMeshRenderer:
         self._render_frame_jit = jax.jit(
             self._render_frame_tiles,
             static_argnames=("width", "height", "nr_cand", "use_cull",
-                             "nr_blocks"),
+                             "nr_blocks", "nr_shade_tiles"),
         )
         self._render_frames_jit = jax.jit(
             self._render_frames_scan,
             static_argnames=("width", "height", "nr_cand", "use_cull",
-                             "nr_blocks"),
+                             "nr_blocks", "nr_shade_tiles"),
         )
         self._count_blocks_jit = jax.jit(
             self._count_blocks_scan,
             static_argnames=("width", "height", "use_cull"),
         )
+        self._count_hit_tiles_jit = jax.jit(
+            self._count_hit_tiles_scan,
+            static_argnames=("width", "height", "nr_cand", "use_cull",
+                             "nr_blocks"),
+        )
         # budget-overflow retries/fallbacks taken by render_frame: silent
         # perf cliffs must be countable by callers (bench asserts zero)
-        self.fallback_counts = {"cand_overflow": 0, "block_overflow": 0}
+        self.fallback_counts = {
+            "cand_overflow": 0, "block_overflow": 0, "shade_overflow": 0
+        }
 
     # ---- lazy pieces ---------------------------------------------------------
 
@@ -380,12 +387,41 @@ class BakedMeshRenderer:
             alphas.append(alpha)
         return self._composite(jnp.stack(rgbs, 1), jnp.stack(alphas, 1))
 
+    @staticmethod
+    def _to_fine_tiles(x, bh, bw):
+        """[T, bh*bw(, C)] block rows -> [T*nf, 128(, C)] fine 8x16 tile rows
+        (raster.TILE_H x TILE_W), pixel order preserved within each tile."""
+        fh, fw = bh // raster.TILE_H, bw // raster.TILE_W
+        T = x.shape[0]
+        trail = x.shape[2:]
+        x = x.reshape(T, fh, raster.TILE_H, fw, raster.TILE_W, *trail)
+        x = jnp.moveaxis(x, 3, 2)
+        return x.reshape(T * fh * fw, raster.TILE_P, *trail)
+
+    @staticmethod
+    def _from_fine_tiles(x, T, bh, bw):
+        """Inverse of _to_fine_tiles: [T*nf, 128(, C)] -> [T, bh*bw(, C)]."""
+        fh, fw = bh // raster.TILE_H, bw // raster.TILE_W
+        trail = x.shape[2:]
+        x = x.reshape(T, fh, fw, raster.TILE_H, raster.TILE_W, *trail)
+        x = jnp.moveaxis(x, 2, 3)
+        return x.reshape(T, bh * bw, *trail)
+
     def _render_frame_tiles(self, scene, intrinsics, c2w, w2c, *, width,
-                            height, nr_cand, use_cull=False, nr_blocks=0):
+                            height, nr_cand, use_cull=False, nr_blocks=0,
+                            nr_shade_tiles=0):
         """One rasterized frame: bin + per-mesh block compaction + ONE
         batched candidate scan + per-mesh shading + outer->inner
         compositing. Returns (img tiles reassembled [H, W, 3],
-        [candidate, block] overflow counters)."""
+        [candidate, block, shade-tile] overflow counters).
+
+        nr_shade_tiles (static; int or per-mesh tuple, 0 = off): after the
+        raster scan, each mesh's shading (texture filtering + SH — the
+        most expensive stage) is compacted a second time to the fine 8x16
+        tiles that contain >= 1 hit. Off-hit pixels shade to exact zero, so
+        dropping no-hit fine tiles is lossless; within candidate blocks only
+        ~50-60% of pixels hit (silhouettes, inner shells), so this cuts the
+        shading volume nearly in half at equal output."""
         bh, bw = self._BLOCK_H, self._BLOCK_W
         dirs, origin = raster.tile_rays(
             intrinsics, c2w, width, height, tile_h=bh, tile_w=bw
@@ -481,23 +517,75 @@ class BakedMeshRenderer:
         )
         # per-mesh shading on its own block set, scattered back to the full
         # tile grid (f16 rgb+alpha) for outer->inner compositing
+        if isinstance(nr_shade_tiles, int):
+            ns_list = [nr_shade_tiles] * M
+        else:
+            ns_list = list(nr_shade_tiles)
+        fine_ok = (
+            bh % raster.TILE_H == 0
+            and bw % raster.TILE_W == 0
+            and (bh, bw) != (raster.TILE_H, raster.TILE_W)
+        )
+        shade_overflow = jnp.zeros((), jnp.int32)
         off = 0
         rgbs_full, alphas_full = [], []
         for i in range(M):
             Ti = cand_parts[i].shape[0]
             sl = slice(off, off + Ti)
             off += Ti
+            f_i, u_i, v_i = f[sl], u[sl], v[sl]
+            d_i = dirs_list[i]
+            ns = ns_list[i]
+            NT = Ti * (bh // raster.TILE_H) * (bw // raster.TILE_W)
+            compact_shade = fine_ok and 0 < ns < NT
+            if compact_shade:
+                # second compaction: only fine 8x16 tiles with >= 1 hit get
+                # shaded (is_hit == f >= 0, so hit comes free from f)
+                fpack = jnp.stack(
+                    [u_i, v_i, d_i[0], d_i[1], d_i[2]], axis=-1
+                )  # [Ti, P, 5]
+                f_t = self._to_fine_tiles(f_i, bh, bw)  # [NT, 128]
+                fpack_t = self._to_fine_tiles(fpack, bh, bw)  # [NT, 128, 5]
+                hit_any = jnp.any(f_t >= 0, axis=1)  # [NT]
+                nt_iota = jnp.arange(NT, dtype=jnp.int32)
+                topv, _ = jax.lax.top_k(
+                    jnp.where(hit_any, NT - nt_iota, 0), ns
+                )
+                st_valid = topv > 0
+                st = jnp.where(st_valid, NT - topv, NT)  # ascending ids
+                shade_overflow = shade_overflow + (
+                    jnp.sum(hit_any) > ns
+                ).astype(jnp.int32)
+                safe = jnp.minimum(st, NT - 1)
+                f_g = jnp.where(st_valid[:, None], f_t[safe], -1)
+                fpack_g = fpack_t[safe]  # [ns, 128, 5]
+                u_g, v_g = fpack_g[..., 0], fpack_g[..., 1]
+                dirs_flat = fpack_g[..., 2:5].reshape(-1, 3)
+                rows = ns
+            else:
+                f_g, u_g, v_g = f_i, u_i, v_i
+                dirs_flat = jnp.stack([d.reshape(-1) for d in d_i], axis=-1)
+                rows = Ti
             uv = raster.interp_uv(
-                scene["raster_tables"][i], f[sl], u[sl], v[sl]
+                scene["raster_tables"][i], f_g, u_g, v_g
             ).reshape(-1, 2)
-            dirs_i = jnp.stack(
-                [d.reshape(-1) for d in dirs_list[i]], axis=-1
-            )
             rgb, alpha = self._shade_mesh(
-                scene, i, uv, is_hit[sl].reshape(-1), dirs_i
+                scene, i, uv, (f_g >= 0).reshape(-1), dirs_flat
             )
-            rgb = rgb.reshape(Ti, P, 3)
-            alpha = alpha.reshape(Ti, P, 1)
+            if compact_shade:
+                rgb = jnp.zeros((NT + 1, raster.TILE_P, 3), jnp.float16).at[
+                    st
+                ].set(rgb.reshape(ns, raster.TILE_P, 3),
+                      indices_are_sorted=True)[:NT]
+                alpha = jnp.zeros((NT + 1, raster.TILE_P, 1), jnp.float16).at[
+                    st
+                ].set(alpha.reshape(ns, raster.TILE_P, 1),
+                      indices_are_sorted=True)[:NT]
+                rgb = self._from_fine_tiles(rgb, Ti, bh, bw)
+                alpha = self._from_fine_tiles(alpha, Ti, bh, bw)
+            else:
+                rgb = rgb.reshape(Ti, P, 3)
+                alpha = alpha.reshape(Ti, P, 1)
             if valid_list[i] is not None:
                 rgb = jnp.zeros((T + 1, P, 3), jnp.float16).at[
                     blk_list[i]
@@ -513,11 +601,12 @@ class BakedMeshRenderer:
         rgb_tiles = out["rgb"].reshape(T, P, 3)
         return (
             raster.tiles_to_image(rgb_tiles, width, height, tile_h=bh, tile_w=bw),
-            jnp.stack([overflow, blk_overflow]),
+            jnp.stack([overflow, blk_overflow, shade_overflow]),
         )
 
     def _render_frames_scan(self, scene, intr_b, c2w_b, w2c_b, *, width,
-                            height, nr_cand, use_cull=False, nr_blocks=0):
+                            height, nr_cand, use_cull=False, nr_blocks=0,
+                            nr_shade_tiles=0):
         """lax.scan over a batch of cameras: renders B frames in ONE
         executable so per-frame host dispatch (expensive through remote
         tunnels, and pure overhead for a swapchain workload) is paid once."""
@@ -527,11 +616,74 @@ class BakedMeshRenderer:
             img, ovf = self._render_frame_tiles(
                 scene, intr, c2w, w2c, width=width, height=height,
                 nr_cand=nr_cand, use_cull=use_cull, nr_blocks=nr_blocks,
+                nr_shade_tiles=nr_shade_tiles,
             )
             return None, (img, ovf)
 
         _, (imgs, ovfs) = jax.lax.scan(step, None, (intr_b, c2w_b, w2c_b))
         return imgs, jnp.sum(ovfs, axis=0)
+
+    def _count_hit_tiles_scan(self, scene, intr_b, c2w_b, w2c_b, *, width,
+                              height, nr_cand, use_cull=False, nr_blocks=0):
+        """Over a camera batch: per-mesh max count of fine 8x16 tiles with
+        >= 1 raster hit [M] — the budget pre-pass for nr_shade_tiles. Runs
+        the real binning + block compaction + raster scan (hits are not
+        knowable from binning alone), no shading."""
+        bh, bw = self._BLOCK_H, self._BLOCK_W
+        M = len(scene["meshes"])
+        if isinstance(nr_blocks, int):
+            nb_list = [nr_blocks] * M
+        else:
+            nb_list = list(nr_blocks)
+
+        def one(_, cams):
+            intr, c2w, w2c = cams
+            dirs, origin = raster.tile_rays(
+                intr, c2w, width, height, tile_h=bh, tile_w=bw
+            )
+            T = dirs[0].shape[0]
+            iota = jnp.arange(T, dtype=jnp.int32)
+            tri_parts, cand_parts = [], []
+            dirs_parts = [[], [], []]
+            for i, mesh in enumerate(scene["meshes"]):
+                cand, _ = raster.bin_triangles(
+                    mesh.verts, mesh.faces, intr, w2c, width, height,
+                    nr_cand, tile_h=bh, tile_w=bw,
+                    cull_sign=self._cull_signs[i] if use_cull else 0,
+                )
+                nb = nb_list[i]
+                if 0 < nb < T:
+                    has = cand[:, 0] >= 0
+                    topv, _ = jax.lax.top_k(jnp.where(has, T - iota, 0), nb)
+                    safe = jnp.minimum(jnp.where(topv > 0, T - topv, T), T - 1)
+                    cand = jnp.where((topv > 0)[:, None], cand[safe], -1)
+                    for c in range(3):
+                        dirs_parts[c].append(dirs[c][safe])
+                else:
+                    for c in range(3):
+                        dirs_parts[c].append(dirs[c])
+                tri_i, cand_i = raster.gather_tri_data(
+                    scene["raster_tables"][i], cand
+                )
+                tri_parts.append(tri_i)
+                cand_parts.append(cand_i)
+            _, _, _, _, fb = raster.raster_meshes_batched(
+                jnp.concatenate(tri_parts, 0),
+                jnp.concatenate(cand_parts, 0),
+                tuple(jnp.concatenate(dp, 0) for dp in dirs_parts),
+                origin,
+            )
+            counts = []
+            off = 0
+            for i in range(M):
+                Ti = cand_parts[i].shape[0]
+                f_t = self._to_fine_tiles(fb[off : off + Ti], bh, bw)
+                counts.append(jnp.sum(jnp.any(f_t >= 0, axis=1)))
+                off += Ti
+            return None, jnp.stack(counts)
+
+        _, counts = jax.lax.scan(one, None, (intr_b, c2w_b, w2c_b))
+        return jnp.max(counts, axis=0)
 
     def _count_blocks_scan(self, scene, intr_b, c2w_b, w2c_b, *, width,
                            height, use_cull=False):
@@ -559,16 +711,18 @@ class BakedMeshRenderer:
     # ---- public --------------------------------------------------------------
 
     def suggest_budgets(self, cameras, margin: int = 8):
-        """(nr_cand, nr_blocks) budgets for `render_frames_device` on this
-        camera set, from a binning-counts pre-pass: the max per-block
-        candidate count, and PER MESH the max per-frame candidate-block
-        count, each plus a margin and rounded up to a multiple of 8. The
-        candidate scan is linear in nr_cand and shading is linear in each
-        mesh's block budget, so tight per-mesh budgets matter (inner shells
-        cover far fewer blocks than the outer); overflow still feeds the
-        caller's retry. nr_blocks is a per-mesh tuple; a mesh's entry is 0
-        (no compaction) when its budget would not beat the full grid, and
-        the whole value is the int 0 if no mesh benefits."""
+        """(nr_cand, nr_blocks, nr_shade_tiles) budgets for
+        `render_frames_device` on this camera set. From a binning-counts
+        pre-pass: the max per-block candidate count and PER MESH the max
+        per-frame candidate-block count; from a raster pre-pass: PER MESH
+        the max per-frame count of fine 8x16 tiles with >= 1 hit. Each plus
+        a margin, rounded up to a multiple of 8. The candidate scan is
+        linear in nr_cand, shading in each mesh's shade-tile budget, so
+        tight per-mesh budgets matter (inner shells cover far fewer pixels
+        than the outer); overflow still feeds the caller's retry. nr_blocks
+        and nr_shade_tiles are per-mesh tuples; an entry is 0 (no
+        compaction) when its budget would not beat the uncompacted path,
+        and the whole value is the int 0 if no mesh benefits."""
         w, h = cameras[0].width, cameras[0].height
         poses = np.stack([c.pose for c in cameras])
         intr_b = jnp.asarray(np.stack([c.intrinsics for c in cameras]),
@@ -577,9 +731,10 @@ class BakedMeshRenderer:
         w2c_b = jnp.asarray(
             np.stack([np.linalg.inv(c.pose) for c in cameras]), jnp.float32
         )
+        use_cull = self._cameras_outside(poses)
         blocks, cands = self._count_blocks_jit(
             self._scene_fast, intr_b, c2w_b, w2c_b, width=w, height=h,
-            use_cull=self._cameras_outside(poses),
+            use_cull=use_cull,
         )
         total = (raster._pad_to(w, self._BLOCK_W) // self._BLOCK_W) * (
             raster._pad_to(h, self._BLOCK_H) // self._BLOCK_H
@@ -589,16 +744,36 @@ class BakedMeshRenderer:
             for b in ((int(x) + margin + 7) // 8 * 8 for x in np.asarray(blocks))
         )
         cand_budget = (int(cands) + margin + 7) // 8 * 8
-        return cand_budget, (blk_budget if any(blk_budget) else 0)
+        nr_blocks = blk_budget if any(blk_budget) else 0
+
+        # shade-tile budgets need real raster hits (margin is in fine tiles;
+        # scale the default 8-block margin to the finer granularity)
+        fine_per_block = (self._BLOCK_H // raster.TILE_H) * (
+            self._BLOCK_W // raster.TILE_W
+        )
+        hit_tiles = np.asarray(self._count_hit_tiles_jit(
+            self._scene_fast, intr_b, c2w_b, w2c_b, width=w, height=h,
+            nr_cand=cand_budget, use_cull=use_cull, nr_blocks=nr_blocks,
+        ))
+        st_budget = []
+        for i in range(len(hit_tiles)):
+            nt_total = (blk_budget[i] if blk_budget[i] > 0 else total
+                        ) * fine_per_block
+            st = (int(hit_tiles[i]) + margin * fine_per_block + 7) // 8 * 8
+            st_budget.append(st if st < nt_total else 0)
+        nr_shade_tiles = (
+            tuple(st_budget) if any(st_budget) else 0
+        )
+        return cand_budget, nr_blocks, nr_shade_tiles
 
     def render_rays(self, rays_o, rays_d):
         return self._render_jit(self._scene, rays_o, rays_d)
 
     def render_frame_device(self, camera, nr_cand: int = 256,
-                            nr_blocks: int = 0):
+                            nr_blocks: int = 0, nr_shade_tiles: int = 0):
         """Rasterized frame as DEVICE arrays (img [H, W, 3] f32, overflow
-        [2] int32 [candidate, block]) — no host sync, so frames can be
-        pipelined back to back."""
+        [3] int32 [candidate, block, shade-tile]) — no host sync, so frames
+        can be pipelined back to back."""
         intr = jnp.asarray(camera.intrinsics, jnp.float32)
         c2w = jnp.asarray(camera.pose, jnp.float32)
         w2c = jnp.asarray(np.linalg.inv(camera.pose), jnp.float32)
@@ -606,7 +781,7 @@ class BakedMeshRenderer:
             self._scene_fast, intr, c2w, w2c,
             width=camera.width, height=camera.height, nr_cand=nr_cand,
             use_cull=self._cameras_outside(camera.pose),
-            nr_blocks=nr_blocks,
+            nr_blocks=nr_blocks, nr_shade_tiles=nr_shade_tiles,
         )
 
     def _cameras_outside(self, poses):
@@ -621,11 +796,11 @@ class BakedMeshRenderer:
         return not bool(inside.any())
 
     def render_frames_device(self, cameras, nr_cand: int = 256,
-                             nr_blocks: int = 0):
+                             nr_blocks: int = 0, nr_shade_tiles: int = 0):
         """Batched frame render: all cameras drawn inside one executable
         (lax.scan). Returns (imgs [B, H, W, 3] f32 DEVICE array, overflow
-        [2] int32 [candidate, block]) without host sync — the real-time
-        path for frame sequences."""
+        [3] int32 [candidate, block, shade-tile]) without host sync — the
+        real-time path for frame sequences."""
         w = cameras[0].width
         h = cameras[0].height
         poses = np.stack([c.pose for c in cameras])
@@ -639,28 +814,46 @@ class BakedMeshRenderer:
         return self._render_frames_jit(
             self._scene_fast, intr_b, c2w_b, w2c_b, width=w, height=h,
             nr_cand=nr_cand, use_cull=self._cameras_outside(poses),
-            nr_blocks=nr_blocks,
+            nr_blocks=nr_blocks, nr_shade_tiles=nr_shade_tiles,
         )
 
-    def render_frame(self, camera, nr_cand: int = 256, nr_blocks: int = 0):
+    def render_frame(self, camera, nr_cand: int = 256, nr_blocks: int = 0,
+                     nr_shade_tiles: int = 0):
         """Full frame via rasterization — the fast path for camera frames
         (the reference's real-time usage). Returns [H, W, 3] float numpy.
-        Retries with larger candidate/block budgets if anything overflowed
-        (a drop would otherwise leave holes); candidate and block overflow
-        are reported separately so only the exhausted budget grows.
+        Retries with larger candidate/block/shade-tile budgets if anything
+        overflowed (a drop would otherwise leave holes); the three overflow
+        counters are reported separately so only the exhausted budget grows.
         Backfaces are culled whenever the camera is outside every shell
         (never changes the closest hit there).
 
         Every retry is counted in ``self.fallback_counts`` ("cand_overflow",
-        "block_overflow") and warned once per renderer — a too-tight budget
-        silently halving throughput is a perf bug, not normal operation."""
+        "block_overflow", "shade_overflow") and warned once per renderer —
+        a too-tight budget silently halving throughput is a perf bug, not
+        normal operation."""
         import warnings
 
         while True:
-            img, overflow = self.render_frame_device(camera, nr_cand, nr_blocks)
-            cand_ovf, blk_ovf = (int(x) for x in np.asarray(overflow))
-            if (cand_ovf == 0 or nr_cand >= 8192) and blk_ovf == 0:
+            img, overflow = self.render_frame_device(
+                camera, nr_cand, nr_blocks, nr_shade_tiles
+            )
+            cand_ovf, blk_ovf, shade_ovf = (
+                int(x) for x in np.asarray(overflow)
+            )
+            if (cand_ovf == 0 or nr_cand >= 8192) and blk_ovf == 0 \
+                    and shade_ovf == 0:
                 return np.asarray(img)
+            if shade_ovf:
+                self.fallback_counts["shade_overflow"] += 1
+                if self.fallback_counts["shade_overflow"] == 1:
+                    warnings.warn(
+                        "render_frame: shade-tile budget overflowed — falling"
+                        " back to uncompacted shading (each such frame shades"
+                        " every candidate-block pixel; raise nr_shade_tiles"
+                        " or rerun suggest_budgets)",
+                        stacklevel=2,
+                    )
+                nr_shade_tiles = 0
             if blk_ovf:
                 self.fallback_counts["block_overflow"] += 1
                 if self.fallback_counts["block_overflow"] == 1:
@@ -672,6 +865,7 @@ class BakedMeshRenderer:
                         stacklevel=2,
                     )
                 nr_blocks = 0  # fall back to the uncompacted frame
+                nr_shade_tiles = 0  # budgets were per the compacted grid
             if cand_ovf:
                 self.fallback_counts["cand_overflow"] += 1
                 if self.fallback_counts["cand_overflow"] == 1:

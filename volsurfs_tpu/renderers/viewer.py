@@ -84,18 +84,20 @@ def render_turntable(
 
     use_raster = hasattr(renderer, "render_frame")
     if use_raster:
-        # rasterized fast path with candidate/block budgets sized once for
-        # the whole orbit (renderers/mesh_renderer.suggest_budgets)
-        nr_cand, nr_blocks = renderer.suggest_budgets(cameras)
-        _, ovf = renderer.render_frame_device(cameras[0], nr_cand, nr_blocks)
+        # rasterized fast path with candidate/block/shade-tile budgets sized
+        # once for the whole orbit (renderers/mesh_renderer.suggest_budgets)
+        nr_cand, nr_blocks, nr_shade = renderer.suggest_budgets(cameras)
+        _, ovf = renderer.render_frame_device(
+            cameras[0], nr_cand, nr_blocks, nr_shade
+        )
         if int(np.sum(np.asarray(ovf))) != 0:
-            nr_cand, nr_blocks = 256, 0
+            nr_cand, nr_blocks, nr_shade = 256, 0, 0
 
     frame_times = []
     for i, camera in enumerate(cameras):
         t0 = time.perf_counter()
         if use_raster:
-            img = renderer.render_frame(camera, nr_cand, nr_blocks)
+            img = renderer.render_frame(camera, nr_cand, nr_blocks, nr_shade)
         else:
             img = renderer.render(camera)
         frame_times.append(time.perf_counter() - t0)
