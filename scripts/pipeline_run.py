@@ -119,3 +119,22 @@ out = {
 with open(os.path.join(args.out, "results.json"), "w") as f:
     json.dump(out, f, indent=2)
 print("RESULT:", json.dumps(out))
+
+# regression gate vs the committed on-chip evidence (runs/pipeline_tpu/
+# results.json: surf 22.75, offsets 23.74, volsurfs 22.95, baked 23.16 dB
+# at the default arguments): a re-run that lands >2 dB below the committed
+# numbers is a quality regression and must fail loudly, not get recorded.
+# Only armed at the default budgets (shorter runs legitimately score lower).
+_committed = os.path.join(
+    os.path.dirname(__file__), "..", "runs", "pipeline_tpu", "results.json"
+)
+_defaults = (args.res, args.surf_iters, args.offsets_iters,
+             args.volsurfs_iters) == (64, 2000, 1500, 1200)
+if os.path.exists(_committed) and _defaults:
+    with open(_committed) as f:
+        ref = json.load(f)
+    for k in ("surf_psnr", "offsets_psnr", "volsurfs_psnr", "baked_render_psnr"):
+        assert out[k] > ref[k] - 2.0, (
+            f"PSNR regression: {k} {out[k]} vs committed {ref[k]}"
+        )
+    print("regression gate: all stages within 2 dB of committed evidence")

@@ -102,12 +102,21 @@ def test_full_pipeline(tmp_path):
         assert v_count > 10 and f_count > 10
     assert os.path.exists(results["scene_json"])
 
-    # metrics are finite; the surf stage should reconstruct the easy sphere
-    assert np.isfinite(results["surf_test_metrics"]["psnr"])
-    assert results["surf_test_metrics"]["psnr"] > 10.0
+    # quality bars, not just crash checks (measured at this budget: surf
+    # 20.4 dB, offsets 16.9, volsurfs 18.0 — bars leave ~3-4 dB margin so
+    # only a real regression fails, not seed noise)
+    assert results["surf_test_metrics"]["psnr"] > 16.0, results
+    assert results["offsets_test_metrics"]["psnr"] > 13.0, results
+    assert results["volsurfs_test_metrics"]["psnr"] > 14.0, results
 
-    # baked scene re-renders
+    # baked scene re-renders AND stays faithful to ground truth (measured
+    # 17.0 dB at this budget)
     renderer = BakedMeshRenderer(results["volsurfs_dir"])
     img = renderer.render(mv["test"].cameras[0])
     assert img.shape == (32, 32, 3)
     assert np.isfinite(img).all()
+    from volsurfs_tpu.utils.evaluation import psnr as psnr_fn
+
+    gt = np.asarray(mv["test"].rgbs[0])
+    baked_psnr = psnr_fn(gt, np.asarray(img).clip(0.0, 1.0))
+    assert baked_psnr > 13.0, baked_psnr

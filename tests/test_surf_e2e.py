@@ -18,16 +18,21 @@ from volsurfs_tpu.training.trainer import Trainer
 
 @pytest.fixture(scope="module")
 def setup():
+    # budget chosen so the easy sphere actually reconstructs (measured
+    # 20.4 dB at these settings — the PSNR bar below has ~4 dB margin);
+    # note first_phase_end_iter > training_end_iter keeps the variance
+    # anneal in progress, which this budget needs for stability
     hp = HyperParamsSuRF(
         is_nr_training_rays_dynamic=False,
-        training_rays_batch_size=64,
+        clip_rays_to_occupancy=False,
+        training_rays_batch_size=96,
         max_nr_samples_per_ray=16,
         max_nr_imp_samples_per_ray=8,
         do_importance_sampling=True,
-        init_phase_end_iter=15,
-        first_phase_end_iter=100,
-        training_end_iter=40,
-        nr_warmup_iters=5,
+        init_phase_end_iter=60,
+        first_phase_end_iter=400,
+        training_end_iter=220,
+        nr_warmup_iters=10,
         lr=3e-3,
         lr_milestones=[10000],
         eikonal_weight=0.04,
@@ -41,7 +46,7 @@ def setup():
     )
     mv = MVDataset(
         "synthetic", "sphere", "",
-        config={"width": 32, "height": 32, "nr_train_cameras": 6, "nr_test_cameras": 2},
+        config={"width": 32, "height": 32, "nr_train_cameras": 8, "nr_test_cameras": 2},
     )
     bound = make_bounding_sphere(1.0)
     method = Surf(
@@ -75,9 +80,9 @@ def test_surf_trains_and_renders(setup, tmp_path_factory):
     assert out["rgb"].shape == (32, 32, 3)
     assert np.isfinite(out["rgb"]).all()
 
-    # eval produces metrics
+    # quality bar, not just a crash check (measured 20.4 dB at this budget)
     means = trainer.eval_split(state, "test", max_cameras=1)
-    assert np.isfinite(means["psnr"])
+    assert means["psnr"] > 16.0, means
 
     # checkpoint round-trip restores state exactly
     ckpt_dir = f"{run_dir}/checkpoints"

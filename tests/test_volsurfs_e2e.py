@@ -78,6 +78,11 @@ def test_volsurfs_trains_and_renders(shell_meshes, tmp_path):
     out = trainer.render_camera(state, mv["test"].cameras[0])
     assert out["rgb"].shape == (32, 32, 3)
     assert np.isfinite(out["rgb"]).all()
+
+    # quality bar, not just a crash check (measured 18.2 dB at this budget;
+    # 15 leaves ~3 dB margin so only a real regression fails)
+    means = trainer.eval_split(state, "test", max_cameras=1)
+    assert means["psnr"] > 15.0, means
     # silhouette should be opaque-ish (solid inner mesh), bg transparent
     bg_T = out["bg_transmittance"]
     assert bg_T.min() < 0.1  # rays through the sphere blocked
