@@ -43,6 +43,54 @@ def test_sphere_trace_analytic():
     assert err.max() < 5e-3
 
 
+def test_sphere_trace_grid_assisted_matches_plain():
+    """Grid-assisted tracing (occupancy start + empty-space skip) must find
+    the same hits at the same depths as the plain trace, in no more steps."""
+    from volsurfs_tpu.ops.occupancy import make_grid
+
+    bound = make_bounding_sphere(1.0)
+
+    def sdf_fn(p):
+        return jnp.linalg.norm(p, axis=-1, keepdims=True) - 0.5
+
+    grid = make_grid(64, 2.0)
+    centers = grid.get_grid_samples()
+    grid = grid.update_values(jnp.abs(sdf_fn(centers)))
+    half_diag = 0.5 * float(jnp.linalg.norm(grid.voxel_size()))
+    grid = grid.replace(occupancy=grid.values < 2.0 * half_diag)
+
+    R = 64
+    key = jax.random.PRNGKey(1)
+    d = jax.random.normal(key, (R, 3)) * 0.25 + jnp.asarray([0.0, 0.0, 1.0])
+    rays_d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    rays_o = jnp.tile(jnp.asarray([[0.0, 0.0, -2.0]], jnp.float32), (R, 1))
+
+    plain = jax.jit(
+        lambda o, dd: sphere_trace(sdf_fn, o, dd, bound, nr_sphere_traces=64)
+    )(rays_o, rays_d)
+    assisted = jax.jit(
+        lambda o, dd, g: sphere_trace(
+            sdf_fn, o, dd, bound, nr_sphere_traces=64, occupancy_grid=g
+        )
+    )(rays_o, rays_d, grid)
+
+    ph = np.asarray(plain["is_hit"])
+    ah = np.asarray(assisted["is_hit"])
+    assert (ph == ah).mean() > 0.95  # grazing rays may differ either way
+    both = ph & ah
+    dz = np.abs(np.asarray(plain["z"])[both, 0] - np.asarray(assisted["z"])[both, 0])
+    assert dz.max() < 5e-3
+    assert int(assisted["steps"]) <= int(plain["steps"])
+
+    # rays that never cross an occupied voxel are guaranteed misses
+    away_d = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32), (8, 1))
+    away_o = jnp.tile(jnp.asarray([[0.0, 0.0, -0.9]], jnp.float32), (8, 1))
+    res = sphere_trace(
+        sdf_fn, away_o, away_d, bound, nr_sphere_traces=64, occupancy_grid=grid
+    )
+    assert not np.asarray(res["is_hit"]).any()
+
+
 def test_profiler_sections():
     from volsurfs_tpu.utils.profiler import Profiler
 

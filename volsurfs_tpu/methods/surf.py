@@ -563,7 +563,9 @@ class Surf:
         One SDF eval per trace step on all rays in lockstep, then a single
         shade at the converged hit points — no per-sample integration, so
         eval frames cost ~max_st_steps SDF evals instead of
-        samples_per_ray SDF+RGB evals."""
+        samples_per_ray SDF+RGB evals. When ``grid`` is given the trace is
+        grid-assisted (reference OccupancyGridGPU.cuh:505-584): rays start
+        at their first occupied voxel and skip empty space between steps."""
         from volsurfs_tpu.ops.sphere_tracing import sphere_trace
 
         raycast = RC.intersect_bounding_primitive(
@@ -576,6 +578,7 @@ class Surf:
             self.bounding_primitive,
             nr_sphere_traces=max_st_steps,
             sdf_converged_tresh=converged_dist_tresh,
+            occupancy_grid=grid,
         )
         hit = trace["is_hit"][:, None]
         pos = trace["positions"]

@@ -24,15 +24,56 @@ def sphere_trace(
     sdf_converged_tresh: float = 1e-4,
     sdf_multiplier: float = 1.0,
     unconverged_are_hits: bool = False,
+    occupancy_grid=None,
 ):
     """March rays along the SDF until |sdf| < threshold or they exit.
 
     Args:
       sdf_fn: [N, 3] -> [N, 1] (or tuple with that first).
+      occupancy_grid: optional OccupancyGrid enabling grid-assisted tracing
+        (reference kernels/volsurfs/OccupancyGridGPU.cuh:505-584
+        ``advance_sample_to_next_occupied_voxel``): rays start at their first
+        occupied probe instead of the bounding primitive, inside unoccupied
+        voxels the step is at least the distance to the voxel exit (the voxel
+        is known empty, so this never skips a surface), and hits only count
+        in occupied voxels (spurious far-field zero crossings are skipped).
     Returns dict: positions [N, 3], z [N, 1], is_hit [N], steps (scalar).
     """
     raycast = intersect_bounding_primitive(bounding_primitive, rays_o, rays_d)
     pos0 = raycast["points_near"]
+    never_trace = ~raycast["is_hit"]  # rays missing the bounding primitive
+
+    if occupancy_grid is not None:
+        from volsurfs_tpu.ops.samplers import rays_t_near_t_far_in_occupancy
+
+        t0, t1 = rays_t_near_t_far_in_occupancy(
+            rays_o, rays_d, raycast["t_near"], raycast["t_far"],
+            occupancy_grid.check_occupancy,
+        )
+        pos0 = rays_o + t0 * rays_d
+        # empty occupied span along the whole ray -> guaranteed miss
+        never_trace = never_trace | (t1 <= t0)[:, 0]
+
+        extent = occupancy_grid.extent
+        res = occupancy_grid.res
+        vox = extent / res  # [3]
+        eps_skip = 1e-3 * jnp.min(vox)
+
+        def empty_space_skip(pos):
+            """Distance along the ray to exit the current (empty) voxel."""
+            coords = jnp.floor((pos / extent + 0.5) * res)
+            lower = (coords / res - 0.5) * extent  # [N, 3] voxel lower corner
+            d = rays_d
+            t_exit = jnp.where(
+                d > 0.0,
+                (lower + vox - pos) / jnp.where(d > 0.0, d, 1.0),
+                jnp.where(
+                    d < 0.0,
+                    (lower - pos) / jnp.where(d < 0.0, d, 1.0),
+                    jnp.inf,
+                ),
+            )  # [N, 3] per-axis exit distances
+            return jnp.min(t_exit, axis=-1, keepdims=True) + eps_skip
 
     def eval_sdf(p):
         res = sdf_fn(p)
@@ -48,9 +89,19 @@ def sphere_trace(
     def body(state):
         i, pos, hit, converged = state
         sdf = eval_sdf(pos)
-        step = jnp.where(converged[:, None], 0.0, sdf * sdf_multiplier)
+        step = sdf * sdf_multiplier
+        in_occ = None
+        if occupancy_grid is not None:
+            in_occ = occupancy_grid.check_occupancy(pos)
+            # empty voxel: free to jump at least to its exit boundary
+            step = jnp.where(
+                in_occ[:, None], step, jnp.maximum(step, empty_space_skip(pos))
+            )
+        step = jnp.where(converged[:, None], 0.0, step)
         new_pos = pos + rays_d * step
         newly_hit = (jnp.abs(sdf[:, 0]) < sdf_converged_tresh) & ~converged
+        if in_occ is not None:
+            newly_hit = newly_hit & in_occ
         hit = hit | newly_hit
         inside = bounding_primitive.contains(new_pos)
         converged = converged | newly_hit | ~inside
@@ -64,7 +115,7 @@ def sphere_trace(
         jnp.asarray(0, jnp.int32),
         pos0,
         jnp.zeros((n,), bool),
-        ~raycast["is_hit"],  # rays missing the bounding primitive never trace
+        never_trace,
     )
     steps, pos, hit, converged = jax.lax.while_loop(cond, body, init)
     if unconverged_are_hits:
