@@ -359,33 +359,48 @@ def test_bf16_appearance_matches_f32():
 
 
 def test_table_grad_scatter_modes_agree():
-    """The "sorted" unique-scatter table-gradient formulation equals the
-    "flat" scatter (and autodiff) for both _hash_lookup and
-    _hash_lookup_grad backward passes."""
+    """The "sorted" unique-scatter and the dense one-hot-matmul table-gradient
+    formulations equal the "flat" scatter (and autodiff) for both _hash_lookup
+    and _hash_lookup_grad backward passes."""
     k = jax.random.PRNGKey(0)
     k1, k2, k3, k4, k5 = jax.random.split(k, 5)
     N, L, C, F, T = 37, 4, 8, 2, 64
     table = jax.random.normal(k1, (L * T, F))
-    idx = jax.random.randint(k2, (N, L, C), 0, L * T, jnp.int32)
+    # per-level indices within each level's own row range (the encoders'
+    # invariant the dense/fine split relies on)
+    local = jax.random.randint(k2, (N, L, C), 0, T, jnp.int32)
+    idx = local + (jnp.arange(L, dtype=jnp.int32) * T)[None, :, None]
     bary = jax.random.uniform(k3, (N, L, C))
     dbary = jax.random.normal(k4, (N, L, C, 3))
     cot = jax.random.normal(k5, (N, L, F))
 
-    def loss(t):
-        return jnp.sum(E._hash_lookup(t, idx, bary) * cot)
+    def make_losses(layout):
+        def loss(t):
+            return jnp.sum(E._hash_lookup(layout, t, idx, bary) * cot)
 
-    def loss_grad(t):
-        f, df = E._hash_lookup_grad(t, idx, bary, dbary)
-        return jnp.sum(f * cot) + jnp.sum(df * cot[..., None])
+        def loss_grad(t):
+            f, df = E._hash_lookup_grad(layout, t, idx, bary, dbary)
+            return jnp.sum(f * cot) + jnp.sum(df * cot[..., None])
 
+        return loss, loss_grad
+
+    # all-scatter, 2 dense levels + 2 fine, all-dense
     grads = {}
-    for mode in ("flat", "sorted"):
-        E.set_table_grad_mode(mode)
-        grads[mode] = (jax.grad(loss)(table), jax.grad(loss_grad)(table))
+    for layout in ((0, 0), (2, 2 * T), (L, L * T)):
+        for mode in ("flat", "sorted", "cplx"):
+            E.set_table_grad_mode(mode)
+            loss, loss_grad = make_losses(layout)
+            grads[(layout, mode)] = (
+                jax.grad(loss)(table), jax.grad(loss_grad)(table)
+            )
     E.set_table_grad_mode("flat")
 
-    for a, b in zip(grads["flat"], grads["sorted"]):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    base = grads[((0, 0), "flat")]
+    for key, pair in grads.items():
+        for a, b in zip(base, pair):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-4, err_msg=str(key)
+            )
 
     # against plain autodiff of the unfused formulation
     def loss_ref(t):
@@ -393,6 +408,6 @@ def test_table_grad_scatter_modes_agree():
         return jnp.sum(jnp.sum(bary[..., None] * g, axis=2) * cot)
 
     np.testing.assert_allclose(
-        np.asarray(grads["flat"][0]), np.asarray(jax.grad(loss_ref)(table)),
+        np.asarray(base[0]), np.asarray(jax.grad(loss_ref)(table)),
         atol=1e-4,
     )

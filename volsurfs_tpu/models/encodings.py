@@ -20,6 +20,7 @@ Shared semantics kept exactly:
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Sequence
 
 import jax
@@ -129,15 +130,46 @@ class SHEncoder(nn.Module):
         return sh_basis(dirs, self.degree), None
 
 
-def _hash_coords(coords, table_size: int):
+def _hash_coords(coords, table_size):
     """Spatial hash of lattice coords [..., 3] -> [...] int32 in [0, table_size).
 
-    uint32 arithmetic (the instant-ngp primes exceed int32 range)."""
+    uint32 arithmetic (the instant-ngp primes exceed int32 range).
+    table_size may be a scalar or a per-level array broadcastable to the
+    result (per-level table sizing)."""
     c = coords.astype(jnp.uint32)
     h = c[..., 0] * jnp.uint32(_PRIMES[0])
     h = h ^ (c[..., 1] * jnp.uint32(_PRIMES[1]))
     h = h ^ (c[..., 2] * jnp.uint32(_PRIMES[2]))
-    return (h % jnp.uint32(table_size)).astype(jnp.int32)
+    return (h % jnp.asarray(table_size, jnp.uint32)).astype(jnp.int32)
+
+
+# ---- per-level table sizing ---------------------------------------------------
+# Coarse levels have enumerably few lattice cells; giving each level only the
+# rows it needs (like tiny-cuda-nn / the reference's permutohedral encoding,
+# which size each level min(needed, capacity)) shrinks the parameter table and
+# makes the coarse levels' gradient accumulation a dense problem: levels with
+# at most _DENSE_ACCUM_MAX_ROWS rows accumulate gradients with a one-hot
+# matmul on the MXU instead (see _segment_sum_matmul / _table_grad_accumulate).
+# Cutoff measured on v5e (scripts/bench_accum.py, 49152x24x4 updates):
+# all-scatter 120 ms, 2048 -> 111 ms, 8192 -> 141 ms, 32768 -> 195 ms — the
+# one-hot scan only beats the scatter while the dense row count stays ~3k.
+_DENSE_ACCUM_MAX_ROWS = 2048
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, int(n - 1)).bit_length()
+
+
+def _level_layout(sizes):
+    """sizes: per-level row counts (non-decreasing). Returns
+    (offsets [L] np.int32, total_rows, nr_dense_levels, dense_rows) where the
+    dense prefix is every level with <= _DENSE_ACCUM_MAX_ROWS rows."""
+    sizes = list(int(s) for s in sizes)
+    offsets = np.concatenate([[0], np.cumsum(sizes)])[:-1].astype(np.int32)
+    k = 0
+    while k < len(sizes) and sizes[k] <= _DENSE_ACCUM_MAX_ROWS:
+        k += 1
+    return offsets, int(np.sum(sizes)), k, int(np.sum(sizes[:k]))
 
 
 class HashGridEncoder(nn.Module):
@@ -173,20 +205,38 @@ class HashGridEncoder(nn.Module):
     def _resolutions(self):
         return np.geomspace(self.coarsest_res, self.finest_res, self.nr_levels)
 
+    def _level_sizes(self):
+        """Per-level (rows, direct_side): collision-free direct indexing when
+        the level's full corner grid fits the capacity (tiny-cuda-nn's rule),
+        the hashed capacity otherwise. direct_side == 0 marks hashed levels."""
+        T = 2**self.log2_hashmap_size
+        sizes, direct = [], []
+        for r in self._resolutions():
+            side = int(np.floor(r)) + 2  # corner coords span [0, floor(r)+1]
+            if side**3 <= T:
+                sizes.append(side**3)
+                direct.append(side)
+            else:
+                sizes.append(T)
+                direct.append(0)
+        return sizes, direct
+
     @nn.compact
     def __call__(self, points, iter_nr=None, with_grads=False):
         """points [..., 3] in the bb -> ([..., output_dim], out_of_bounds [...]),
         or with_grads=True -> (feats, dfeats/dpoints [..., output_dim, 3], oob)
-        computed analytically from the same gathered corners (one scatter in
-        the backward; see _hash_lookup_grad)."""
+        computed analytically from the same gathered corners (one
+        accumulation in the backward; see _hash_lookup_grad)."""
         assert points.shape[-1] == self.input_dim == 3
-        T = 2**self.log2_hashmap_size
         L, F = self.nr_levels, self.nr_feat_per_level
+        sizes, direct = self._level_sizes()
+        offsets, total_rows, nr_dense, dense_rows = _level_layout(sizes)
+        layout = (nr_dense, dense_rows, tuple(int(s) for s in sizes))
 
         table = self.param(
             "table",
             lambda key, shape: jax.random.uniform(key, shape, minval=-1e-4, maxval=1e-4),
-            (L, T, F),
+            (total_rows, F),
         )
 
         unit, out_of_bounds = _rescale_to_unit(points, self.bb_sides)
@@ -218,8 +268,10 @@ class HashGridEncoder(nn.Module):
         floor = floor.astype(jnp.int32)
 
         # 8 trilinear corners, fetched with one fused lookup (single gather;
-        # custom VJP emits one scatter-add — see _hash_lookup)
-        level_off = (jnp.arange(L, dtype=jnp.int32) * T)[None, :]
+        # custom VJP emits one accumulation — see _hash_lookup)
+        level_off = jnp.asarray(offsets, jnp.int32)[None, :]
+        sizes_arr = jnp.asarray(sizes, jnp.int32)[None, :]  # [1, L]
+        direct_side = jnp.asarray(direct, jnp.int32)[None, :]  # [1, L], 0=hashed
         corner_idx, corner_w, corner_dw = [], [], []
         for corner in range(8):
             offset = jnp.asarray(
@@ -227,7 +279,18 @@ class HashGridEncoder(nn.Module):
                 jnp.int32,
             )
             c = floor + offset[None, None, :]
-            corner_idx.append(_hash_coords(c, T) + level_off)  # [N, L]
+            hashed = _hash_coords(c, sizes_arr)  # [N, L]
+            # direct levels: collision-free linear index (clamp keeps
+            # out-of-bounds points — masked downstream — in range)
+            cd = jnp.clip(
+                c, 0, jnp.maximum(direct_side, 1)[..., None] - 1
+            )
+            lin = cd[..., 0] + direct_side * (
+                cd[..., 1] + direct_side * cd[..., 2]
+            )
+            corner_idx.append(
+                jnp.where(direct_side > 0, lin, hashed) + level_off
+            )  # [N, L]
             terms = jnp.where(offset[None, None, :] == 1, frac, 1.0 - frac)
             corner_w.append(jnp.prod(terms, axis=-1))
             if with_grads:
@@ -247,10 +310,9 @@ class HashGridEncoder(nn.Module):
                 )
         flat_idx = jnp.stack(corner_idx, axis=-1)  # [N, L, 8]
         weights = jnp.stack(corner_w, axis=-1)  # [N, L, 8]
-        flat_table = table.reshape(L * T, F)
 
         if not with_grads:
-            feats = _hash_lookup(flat_table, flat_idx, weights)
+            feats = _hash_lookup(layout, table, flat_idx, weights)
             feats = feats * window[None, :, None]
             feats = feats.reshape(*batch_shape, L * F)
             if self.concat_points:
@@ -260,7 +322,7 @@ class HashGridEncoder(nn.Module):
             return feats, out_of_bounds
 
         dweights = jnp.stack(corner_dw, axis=-2)  # [N, L, 8, 3]
-        feats, dfeats = _hash_lookup_grad(flat_table, flat_idx, weights, dweights)
+        feats, dfeats = _hash_lookup_grad(layout, table, flat_idx, weights, dweights)
         feats = feats * window[None, :, None]
         dfeats = dfeats * window[None, :, None, None]
         feats = feats.reshape(*batch_shape, L * F)
@@ -296,10 +358,75 @@ def set_table_grad_mode(mode: str):
     silently keep their old mode; changing the mode therefore clears the
     jit caches to force a retrace of every compiled function."""
     global _TABLE_GRAD_MODE
-    assert mode in ("flat", "sorted", "zero"), mode  # zero = profiling ablation
+    # zero = profiling ablation; cplx = F=2 features packed into one
+    # complex64 update each (XLA's TPU scatter cost is per-update, so
+    # packing halves it)
+    assert mode in ("flat", "sorted", "zero", "cplx"), mode
     if mode != _TABLE_GRAD_MODE:
         _TABLE_GRAD_MODE = mode
         jax.clear_caches()
+
+
+def _segment_sum_matmul(idx, upd, nr_rows: int):
+    """Segment-sum upd [M, F] by idx [M] into [nr_rows, F] via one-hot
+    matmuls on the MXU (chunked over M so the one-hot stays ~16 MB).
+
+    The dense-accumulation path for coarse hash levels: their scatter-adds
+    are duplicate-heavy (many samples per cell) which serializes the XLA
+    scatter, while as a matmul the duplicates are just a longer contraction.
+    Exact: one-hot entries are 0/1, so products are exact; HIGHEST precision
+    keeps f32 accumulation off the bf16 MXU path."""
+    M, F = upd.shape
+    dtype = upd.dtype
+    chunk = min(_next_pow2(M), max(512, _next_pow2((1 << 22) // max(nr_rows, 1))))
+    pad = (-M) % chunk
+    if pad:
+        idx = jnp.concatenate([idx, jnp.zeros((pad,), idx.dtype)])
+        upd = jnp.concatenate([upd, jnp.zeros((pad, F), dtype)])
+    idx = idx.reshape(-1, chunk)
+    upd = upd.reshape(-1, chunk, F)
+    rows = jnp.arange(nr_rows, dtype=idx.dtype)
+
+    def body(acc, xs):
+        i, u = xs
+        onehot = (rows[:, None] == i[None, :]).astype(dtype)  # [nr_rows, chunk]
+        return (
+            acc
+            + jax.lax.dot(onehot, u, precision=jax.lax.Precision.HIGHEST)
+        ), None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros((nr_rows, F), dtype), (idx, upd))
+    return acc
+
+
+def _table_grad_accumulate(flat_idx, upd, layout, total_rows: int, dtype):
+    """Table cotangent: dense one-hot matmul for the coarse-level prefix,
+    flat scatter for the fine levels.
+
+    flat_idx [N, L, C] absolute rows; upd [N, L, C, F];
+    layout = (nr_dense_levels, dense_rows) — static per-encoder constants
+    from _level_layout. Levels are laid out coarse-to-fine, so the dense
+    levels' rows are exactly [0, dense_rows)."""
+    F = upd.shape[-1]
+    if _TABLE_GRAD_MODE == "zero":
+        return jnp.zeros((total_rows, F), dtype) + 0.0 * upd.reshape(-1, F)[0]
+    k, dense_rows = layout[0], layout[1]
+    if k <= 0 or dense_rows <= 0:
+        return _table_grad_scatter(
+            flat_idx.reshape(-1), upd.reshape(-1, F), total_rows, dtype
+        )
+    d_dense = _segment_sum_matmul(
+        flat_idx[:, :k].reshape(-1), upd[:, :k].reshape(-1, F), dense_rows
+    )
+    if k >= flat_idx.shape[1]:
+        return d_dense
+    d_fine = _table_grad_scatter(
+        flat_idx[:, k:].reshape(-1) - dense_rows,
+        upd[:, k:].reshape(-1, F),
+        total_rows - dense_rows,
+        dtype,
+    )
+    return jnp.concatenate([d_dense.astype(dtype), d_fine], axis=0)
 
 
 def _table_grad_scatter(rows, upd, table_rows: int, dtype):
@@ -326,6 +453,15 @@ def _table_grad_scatter(rows, upd, table_rows: int, dtype):
         d = d.at[jnp.where(is_end, r, pad)].add(csum, unique_indices=True)
         d = d.at[jnp.where(is_start, r, pad)].add(-excl, unique_indices=True)
         return d[:table_rows]
+    if _TABLE_GRAD_MODE == "cplx" and F == 2:
+        # pack the two features into one complex update each: the XLA TPU
+        # scatter serializes per UPDATE (not per byte), so this halves it
+        cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+        rdtype = jnp.float64 if dtype == jnp.float64 else jnp.float32
+        u = upd.astype(rdtype)
+        z = jax.lax.complex(u[:, 0], u[:, 1])
+        acc = jnp.zeros((table_rows,), cdtype).at[rows].add(z)
+        return jnp.stack([jnp.real(acc), jnp.imag(acc)], axis=-1).astype(dtype)
     # scalar-flat scatter: one 1-D scatter of M*F scalars instead of M rows
     # of F — measures 3x faster on v5e than the row form
     # (scripts/bench_scatter.py: 34 vs 11.5 M row-updates/s)
@@ -338,35 +474,50 @@ def _table_grad_scatter(rows, upd, table_rows: int, dtype):
 
 
 
-@jax.custom_vjp
-def _hash_lookup(flat_table, flat_idx, bary):
+def _gather_levels(flat_table, flat_idx, layout):
+    """[R, F] concatenated table + [N, L, C] absolute rows -> [N, L, C, F].
+
+    One flat gather. Measured dead end (v5e, surf step ablation): splitting
+    this into L per-level gathers from each level's own [T_l, F] slice —
+    motivated by the small-table gather rates in RESULTS.md — made the
+    no-scatter step 45 ms SLOWER (223 -> 268 ms): at ~200k rows per level
+    the per-gather op overhead dominates, and XLA handles the one big
+    row-pair gather better than the microbench big-table rates suggested."""
+    return flat_table[flat_idx]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _hash_lookup(layout, flat_table, flat_idx, bary):
     """Fused multi-level multi-corner hash-table lookup.
 
-    flat_table [L*T, F]; flat_idx [N, L, C] absolute rows; bary [N, L, C].
+    layout: static (nr_dense_levels, dense_rows[, per-level sizes]) from
+    _level_layout. flat_table [R, F] concatenated per-level tables;
+    flat_idx [N, L, C] absolute rows; bary [N, L, C].
     Returns feats [N, L, F] = sum_c bary_c * table[idx_c].
 
-    custom_vjp so the backward is exactly ONE scatter-add over all
-    (point, level, corner) updates: the autodiff transpose of the per-level
-    vmapped gather emits a per-level scatter pattern that measures ~8x
-    slower on TPU.
+    custom_vjp so the backward is exactly ONE accumulation over all
+    (point, level, corner) updates — a dense one-hot matmul for the coarse
+    levels plus one scatter-add for the fine levels: the autodiff transpose
+    of the per-level vmapped gather emits a per-level scatter pattern that
+    measures ~8x slower on TPU.
     """
-    g = flat_table[flat_idx]  # [N, L, C, F] single gather
+    g = _gather_levels(flat_table, flat_idx, layout)  # [N, L, C, F]
     return jnp.sum(bary[..., None] * g, axis=2)
 
 
-def _hash_lookup_fwd(flat_table, flat_idx, bary):
-    g = flat_table[flat_idx]
+def _hash_lookup_fwd(layout, flat_table, flat_idx, bary):
+    g = _gather_levels(flat_table, flat_idx, layout)
     feats = jnp.sum(bary[..., None] * g, axis=2)
     return feats, (g, flat_idx, bary, flat_table.shape)
 
 
-def _hash_lookup_bwd(res, dout):
+def _hash_lookup_bwd(layout, res, dout):
     g, flat_idx, bary, table_shape = res
     # dout [N, L, F]
     d_bary = jnp.sum(g * dout[:, :, None, :], axis=-1)  # [N, L, C]
-    upd = (bary[..., None] * dout[:, :, None, :]).reshape(-1, table_shape[-1])
-    d_table = _table_grad_scatter(
-        flat_idx.reshape(-1), upd, table_shape[0], dout.dtype
+    upd = bary[..., None] * dout[:, :, None, :]  # [N, L, C, F]
+    d_table = _table_grad_accumulate(
+        flat_idx, upd, layout, table_shape[0], dout.dtype
     )
     return d_table, None, d_bary
 
@@ -374,47 +525,47 @@ def _hash_lookup_bwd(res, dout):
 _hash_lookup.defvjp(_hash_lookup_fwd, _hash_lookup_bwd)
 
 
-@jax.custom_vjp
-def _hash_lookup_grad(flat_table, flat_idx, bary, dbary):
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _hash_lookup_grad(layout, flat_table, flat_idx, bary, dbary):
     """Fused lookup returning features AND their spatial jacobian from ONE
     gather set.
 
-    flat_table [L*T, F]; flat_idx [N, L, C]; bary [N, L, C] interpolation
-    weights; dbary [N, L, C, 3] their analytic spatial derivatives.
-    Returns (feats [N, L, F], dfeats [N, L, F, 3]).
+    layout: static (nr_dense_levels, dense_rows[, per-level sizes]) from
+    _level_layout. flat_table [R, F]; flat_idx [N, L, C]; bary [N, L, C]
+    interpolation weights; dbary [N, L, C, 3] their analytic spatial
+    derivatives. Returns (feats [N, L, F], dfeats [N, L, F, 3]).
 
     The TPU-native replacement for the reference's 4-point finite-difference
     field gradients (volsurfs_py/utils/fields_utils.py:6-80): both outputs
     share the gathered corner rows, and the custom VJP merges the feature
-    and jacobian cotangents into ONE scalar scatter — table-gradient scatter
+    and jacobian cotangents into ONE accumulation — table-gradient scatter
     traffic (the dominant train-step cost on TPU; scripts/bench_scatter.py)
     drops ~5x vs differentiating 4 separate evaluations.
     """
-    g = flat_table[flat_idx]  # [N, L, C, F]
+    g = _gather_levels(flat_table, flat_idx, layout)  # [N, L, C, F]
     feats = jnp.sum(bary[..., None] * g, axis=2)
     dfeats = jnp.einsum("nlck,nlcf->nlfk", dbary, g)
     return feats, dfeats
 
 
-def _hash_lookup_grad_fwd(flat_table, flat_idx, bary, dbary):
-    g = flat_table[flat_idx]
+def _hash_lookup_grad_fwd(layout, flat_table, flat_idx, bary, dbary):
+    g = _gather_levels(flat_table, flat_idx, layout)
     feats = jnp.sum(bary[..., None] * g, axis=2)
     dfeats = jnp.einsum("nlck,nlcf->nlfk", dbary, g)
     return (feats, dfeats), (g, flat_idx, bary, dbary, flat_table.shape)
 
 
-def _hash_lookup_grad_bwd(res, cots):
+def _hash_lookup_grad_bwd(layout, res, cots):
     g, flat_idx, bary, dbary, table_shape = res
     gf, gd = cots  # [N, L, F], [N, L, F, 3]
-    # corner-row cotangent from BOTH outputs, one scatter
+    # corner-row cotangent from BOTH outputs, one accumulation
     cot_g = bary[..., None] * gf[:, :, None, :] + jnp.einsum(
         "nlck,nlfk->nlcf", dbary, gd
     )  # [N, L, C, F]
     d_bary = jnp.sum(g * gf[:, :, None, :], axis=-1)
     d_dbary = jnp.einsum("nlcf,nlfk->nlck", g, gd)
-    d_table = _table_grad_scatter(
-        flat_idx.reshape(-1), cot_g.reshape(-1, table_shape[-1]),
-        table_shape[0], gf.dtype,
+    d_table = _table_grad_accumulate(
+        flat_idx, cot_g, layout, table_shape[0], gf.dtype
     )
     return d_table, None, d_bary, d_dbary
 
@@ -455,17 +606,35 @@ class PermutoEncoder(nn.Module):
             d -= 1
         return d
 
+    def _scales(self):
+        return np.geomspace(self.coarsest_scale, self.finest_scale, self.nr_levels)
+
+    def _level_sizes(self):
+        """Per-level rows: the lattice sites reachable from the unit cube at
+        scale s number ~(1/s + 3)^3; give each level twice that (rounded up
+        to a power of two) capped at the hash capacity — the reference's
+        permutohedral encoding sizes its levels the same way
+        (min(needed, capacity))."""
+        T = 2**self.log2_hashmap_size
+        sizes = []
+        for s in self._scales():
+            cells = int(np.ceil(1.0 / s) + 3) ** 3
+            sizes.append(min(T, max(64, _next_pow2(2 * cells))))
+        return sizes
+
     @nn.compact
     def __call__(self, points, iter_nr=None, with_grads=False):
         assert points.shape[-1] == self.input_dim == 3
-        T = 2**self.log2_hashmap_size
         L, F = self.nr_levels, self.nr_feat_per_level
         d = 3
+        sizes = self._level_sizes()
+        offsets, total_rows, nr_dense, dense_rows = _level_layout(sizes)
+        layout = (nr_dense, dense_rows, tuple(int(s) for s in sizes))
 
         table = self.param(
             "table",
             lambda key, shape: jax.random.uniform(key, shape, minval=-1e-4, maxval=1e-4),
-            (L, T, F),
+            (total_rows, F),
         )
         unit, out_of_bounds = _rescale_to_unit(points, self.bb_sides)
         if self.bb_sides is None:
@@ -484,9 +653,7 @@ class PermutoEncoder(nn.Module):
             )
         window = c2f_window(t, L)
 
-        scales = jnp.asarray(
-            np.geomspace(self.coarsest_scale, self.finest_scale, L), jnp.float32
-        )
+        scales = jnp.asarray(self._scales(), jnp.float32)
         batch_shape = unit.shape[:-1]
         p = unit.reshape(-1, 3)
         N = p.shape[0]
@@ -557,17 +724,17 @@ class PermutoEncoder(nn.Module):
         bary = bary[..., : d + 1]  # [N, L, d+1] weights
 
         corner_idx = []
-        level_off = (jnp.arange(L, dtype=jnp.int32) * T)[None, :]
+        level_off = jnp.asarray(offsets, jnp.int32)[None, :]
+        sizes_arr = jnp.asarray(sizes, jnp.int32)[None, :]
         for corner in range(d + 1):
             # corner key = rem0 + (d+1) for coordinates whose rank >= d+1-corner
             add = jnp.where(rank >= d + 1 - corner, float(d + 1), 0.0)
             key = (rem0 + add).astype(jnp.int32)[..., :d]  # drop last coord
-            corner_idx.append(_hash_coords(key, T) + level_off)
+            corner_idx.append(_hash_coords(key, sizes_arr) + level_off)
         flat_idx = jnp.stack(corner_idx, axis=-1)  # [N, L, d+1] absolute rows
-        flat_table = table.reshape(L * T, F)
 
         if not with_grads:
-            feats = _hash_lookup(flat_table, flat_idx, bary)
+            feats = _hash_lookup(layout, table, flat_idx, bary)
             feats = feats * window[None, :, None]
             feats = feats.reshape(*batch_shape, L * F)
             if self.concat_points:
@@ -579,7 +746,7 @@ class PermutoEncoder(nn.Module):
         dbary = jnp.stack(dbary_slots, axis=-2)  # [N, L, d+2, 3]
         dbary = dbary.at[..., 0, :].add(dbary[..., d + 1, :])
         dbary = dbary[..., : d + 1, :]
-        feats, dfeats = _hash_lookup_grad(flat_table, flat_idx, bary, dbary)
+        feats, dfeats = _hash_lookup_grad(layout, table, flat_idx, bary, dbary)
         feats = feats * window[None, :, None]
         dfeats = dfeats * window[None, :, None, None]
         feats = feats.reshape(*batch_shape, L * F)

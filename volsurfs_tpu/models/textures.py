@@ -52,14 +52,40 @@ class HashGrid2D(nn.Module):
     def output_dim(self):
         return self.nr_levels * self.nr_feat_per_level
 
+    def _level_sizes(self):
+        """Per-level (rows, direct_side): collision-free direct indexing when
+        the level's full corner grid fits the capacity, hashed otherwise —
+        same per-level sizing as the 3D encoders (encodings._level_layout)."""
+        T = 2**self.log2_hashmap_size
+        sizes, direct = [], []
+        for r in self.base_resolution * self.growth_factor ** np.arange(
+            self.nr_levels
+        ):
+            side = int(np.floor(r)) + 2
+            if side**2 <= T:
+                sizes.append(side**2)
+                direct.append(side)
+            else:
+                sizes.append(T)
+                direct.append(0)
+        return sizes, direct
+
     @nn.compact
     def __call__(self, uv):
-        T = 2**self.log2_hashmap_size
         L, F = self.nr_levels, self.nr_feat_per_level
+        # fused 4-corner lookup through the shared custom-VJP path: one
+        # gather forward; backward is a dense one-hot matmul for coarse
+        # levels + one scalar-flat scatter for fine levels (see
+        # encodings._hash_lookup / _table_grad_accumulate)
+        from volsurfs_tpu.models.encodings import _hash_lookup, _level_layout
+
+        sizes, direct = self._level_sizes()
+        offsets, total_rows, nr_dense, dense_rows = _level_layout(sizes)
+        layout = (nr_dense, dense_rows, tuple(int(s) for s in sizes))
         table = self.param(
             "table",
             lambda key, shape: jax.random.uniform(key, shape, minval=-1e-4, maxval=1e-4),
-            (L, T, F),
+            (total_rows, F),
         )
         res = jnp.asarray(
             self.base_resolution * self.growth_factor ** np.arange(L), jnp.float32
@@ -70,28 +96,30 @@ class HashGrid2D(nn.Module):
         floor = jnp.floor(scaled)
         frac = scaled - floor
         floor = floor.astype(jnp.int32)
-        # fused 4-corner lookup through the shared custom-VJP path: one
-        # gather forward, one scalar-flat scatter backward (the 3x-faster
-        # formulation; see encodings._hash_lookup / scripts/bench_scatter.py)
-        from volsurfs_tpu.models.encodings import _hash_lookup
 
-        level_off = (jnp.arange(L, dtype=jnp.int32) * T)[None, :]
+        level_off = jnp.asarray(offsets, jnp.int32)[None, :]
+        sizes_arr = jnp.asarray(sizes, jnp.uint32)[None, :]
+        direct_side = jnp.asarray(direct, jnp.int32)[None, :]  # 0 = hashed
         corner_idx, corner_w = [], []
         for corner in range(4):
             off = jnp.asarray([corner & 1, (corner >> 1) & 1], jnp.int32)
-            c = (floor + off[None, None, :]).astype(jnp.uint32)
-            h = c[..., 0] * jnp.uint32(_PRIMES_2D[0]) ^ c[..., 1] * jnp.uint32(
+            c = floor + off[None, None, :]
+            cu = c.astype(jnp.uint32)
+            h = cu[..., 0] * jnp.uint32(_PRIMES_2D[0]) ^ cu[..., 1] * jnp.uint32(
                 _PRIMES_2D[1]
             )
+            hashed = (h % sizes_arr).astype(jnp.int32)
+            cd = jnp.clip(c, 0, jnp.maximum(direct_side, 1)[..., None] - 1)
+            lin = cd[..., 0] + direct_side * cd[..., 1]
             corner_idx.append(
-                (h % jnp.uint32(T)).astype(jnp.int32) + level_off
+                jnp.where(direct_side > 0, lin, hashed) + level_off
             )
             corner_w.append(jnp.prod(
                 jnp.where(off[None, None, :] == 1, frac, 1.0 - frac), axis=-1
             ))
         flat_idx = jnp.stack(corner_idx, axis=-1)  # [N, L, 4]
         weights = jnp.stack(corner_w, axis=-1)
-        feats = _hash_lookup(table.reshape(L * T, F), flat_idx, weights)
+        feats = _hash_lookup(layout, table, flat_idx, weights)
         return feats.reshape(*batch_shape, L * F)
 
 
