@@ -47,6 +47,54 @@ def test_tsdf_fusion_reconstructs_sphere():
     assert np.abs(r - 0.5).mean() < 0.05
 
 
+def test_post_process_mesh_drops_floaters():
+    """post_process_mesh keeps the big component and drops the floater
+    (reference utils/mesh_extraction.py:18-47)."""
+    from volsurfs_tpu.baking.marching import extract_mesh_from_fn, post_process_mesh
+
+    def sdf(p):  # big sphere + tiny floater sphere
+        d_main = np.linalg.norm(p, axis=-1) - 0.5
+        d_float = np.linalg.norm(p - np.asarray([0.0, 0.0, 0.8]), axis=-1) - 0.05
+        return np.minimum(d_main, d_float)
+
+    v, f = extract_mesh_from_fn(sdf, resolution=48)
+    v2, f2 = post_process_mesh(v, f, cluster_to_keep=1, min_triangles=50)
+    assert len(f2) < len(f)  # floater removed
+    assert len(f2) > 0.7 * len(f)  # main shell kept
+    assert f2.max() < len(v2) and f2.min() >= 0  # valid reindex
+    # all kept vertices near the main sphere
+    r = np.linalg.norm(v2, axis=-1)
+    assert np.abs(r - 0.5).max() < 0.1
+
+
+def test_neural_texture_align_to_webgl_rotates():
+    """align_to_webgl rotates the UV lookup 90 degrees: querying (u, v)
+    aligned equals querying the rotated coordinate unaligned."""
+    import jax
+    import jax.numpy as jnp
+
+    from volsurfs_tpu.models.textures import NeuralTexture
+
+    W = H = 32
+    plain = NeuralTexture(res=(H, W), nr_channels=2, anchor=True)
+    rot = NeuralTexture(res=(H, W), nr_channels=2, anchor=True,
+                        align_to_webgl=True)
+    uv = jax.random.uniform(jax.random.PRNGKey(0), (64, 2), minval=0.05,
+                            maxval=0.95)
+    params = plain.init(jax.random.PRNGKey(1), uv)
+    out_rot = rot.apply(params, uv)
+    # manually rotate: pix (i,j) -> (W-1-j, i) on rounded pixel coords
+    x = uv[:, 0] * W - 0.5
+    y = (1.0 - uv[:, 1]) * H - 0.5
+    xr, yr = (W - 1) - y, x
+    # map back to uv that yields those pixel coords in the plain texture
+    uv_r = jnp.stack([(xr + 0.5) / W, 1.0 - (yr + 0.5) / H], -1)
+    out_manual = plain.apply(params, uv_r)
+    np.testing.assert_allclose(
+        np.asarray(out_rot), np.asarray(out_manual), atol=1e-5
+    )
+
+
 def test_orbit_camera():
     orbit = OrbitCamera(64, 64, radius=2.0)
     cam = orbit.camera()

@@ -216,3 +216,58 @@ def extract_mesh_from_fn(
     spacing = np.full(3, 2.0 * bounds / (resolution - 1), np.float64)
     origin = np.full(3, -bounds, np.float64)
     return marching_tetrahedra(values - level, origin, spacing)
+
+
+def post_process_mesh(verts, faces, cluster_to_keep: int = 1000,
+                      min_triangles: int = 50):
+    """Filter floaters / disconnected parts from an extracted mesh
+    (reference utils/mesh_extraction.py:18-47 ``post_process_mesh``:
+    cluster connected triangles, keep the ``cluster_to_keep`` largest
+    clusters but never clusters below ``min_triangles`` faces, then drop
+    unreferenced vertices).
+
+    Connectivity is via shared vertices (a superset of open3d's shared-edge
+    clustering; identical for the closed level-set shells the baker
+    extracts). Pure numpy union-find.
+
+    Returns (verts', faces') with faces reindexed.
+    """
+    verts = np.asarray(verts)
+    faces = np.asarray(faces, np.int64)
+    if len(faces) == 0:
+        return verts, faces
+
+    # union-find over vertices
+    parent = np.arange(len(verts), dtype=np.int64)
+
+    def find(a):
+        root = a
+        while parent[root] != root:
+            root = parent[root]
+        while parent[a] != root:
+            parent[a], a = root, parent[a]
+        return root
+
+    for f in faces:
+        ra, rb, rc = find(f[0]), find(f[1]), find(f[2])
+        parent[rb] = ra
+        parent[rc] = ra
+    roots = np.asarray([find(v) for v in faces[:, 0]])
+
+    labels, counts = np.unique(roots, return_counts=True)
+    order = np.argsort(-counts)
+    if len(order) > cluster_to_keep:
+        thresh = counts[order[cluster_to_keep - 1]]
+    else:
+        thresh = 0
+    thresh = max(thresh, min_triangles)
+    keep_labels = set(labels[counts >= thresh].tolist())
+    if not keep_labels:  # degenerate: everything smaller than min_triangles
+        keep_labels = {labels[order[0]]}
+    keep = np.asarray([r in keep_labels for r in roots])
+    faces = faces[keep]
+
+    used = np.unique(faces)
+    remap = np.full(len(verts), -1, np.int64)
+    remap[used] = np.arange(len(used))
+    return verts[used], remap[faces]

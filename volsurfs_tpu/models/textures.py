@@ -133,6 +133,9 @@ class NeuralTexture(nn.Module):
     lerp: bool = False
     quantize_output: bool = False
     squeeze_output: bool = False
+    align_to_webgl: bool = False  # 90-deg UV rotation (WebGL-viewer export
+    # convention, reference neural_texture.py:96-121; our own trainer/baker/
+    # renderer share one convention so this stays off internally)
     mlp_dtype: str | None = None  # bf16 compute under hp.use_grad_scaler
 
     def setup(self):
@@ -168,6 +171,15 @@ class NeuralTexture(nn.Module):
         # continuous pixel coords with v-flip
         x = uv_coords[..., 0] * W - 0.5
         y = (1.0 - uv_coords[..., 1]) * H - 0.5
+
+        if self.align_to_webgl:
+            # rotate 90 deg: (i, j) -> (width - j, i) (reference
+            # neural_texture.py:96-121; anchor uses width-1-j on the
+            # rounded pixel, lerp width-j on the continuous coord)
+            if self.anchor:
+                x, y = (W - 1) - y, x
+            else:
+                x, y = W - y, x
 
         if self.anchor:
             pix = jnp.stack(
@@ -236,6 +248,7 @@ class SHNeuralTextures(nn.Module):
     lerp: bool = True
     quantize_output: bool = False
     squeeze_output: bool = False
+    align_to_webgl: bool = False
     mlp_dtype: str | None = None  # bf16 compute under hp.use_grad_scaler
 
     @property
@@ -253,6 +266,7 @@ class SHNeuralTextures(nn.Module):
                 lerp=self.lerp,
                 quantize_output=self.quantize_output,
                 squeeze_output=self.squeeze_output,
+                align_to_webgl=self.align_to_webgl,
                 mlp_dtype=self.mlp_dtype,
             )
             for deg in range(self.sh_deg + 1)
