@@ -57,6 +57,44 @@ train_time = time.time() - t0
 means = render_and_eval(trainer, state, "test", os.path.join(args.out, "eval"))
 result = {"iters": args.iters, "train_time_s": round(train_time, 1),
           "iters_per_sec": round(args.iters / train_time, 2), **{k: round(v, 3) for k, v in means.items()}}
+
+# sphere-traced eval: PSNR + frame time, with and without grid assistance
+# (reference render_sphere_traced toggle + OccupancyGridGPU.cuh:505-584
+# grid-assisted tracing). Evidence for the eval-speed win at equal quality.
+import numpy as np
+
+import jax.numpy as jnp
+from volsurfs_tpu.datasets.cameras import get_camera_rays
+from volsurfs_tpu.utils.evaluation import psnr as psnr_fn
+
+split = mv["test"]
+cam, gt = split.cameras[0], np.asarray(split.rgbs[0])
+rays_o, rays_d = get_camera_rays(cam)
+rays_o = jnp.asarray(rays_o.reshape(-1, 3))
+rays_d = jnp.asarray(rays_d.reshape(-1, 3))
+
+st_means = {}
+for label, use_grid in (("st_grid", True), ("st_nogrid", False)):
+    if use_grid:
+        fn = jax.jit(lambda p, g, o, d, i:
+                     method.render_rays_sphere_traced(p, g, o, d, i))
+        fn_args = (state.params, state.grid, rays_o, rays_d, state.iter_nr)
+    else:
+        fn = jax.jit(lambda p, o, d, i:
+                     method.render_rays_sphere_traced(p, None, o, d, i))
+        fn_args = (state.params, rays_o, rays_d, state.iter_nr)
+    res = fn(*fn_args)
+    float(jnp.sum(res["rgb"]))  # compile + sync
+    t0 = time.time()
+    for _ in range(3):
+        res = fn(*fn_args)
+        float(jnp.sum(res["rgb"]))
+    dt = (time.time() - t0) / 3
+    img = np.asarray(res["rgb"]).reshape(args.res, args.res, 3)
+    st_means[label] = {"frame_ms": round(dt * 1e3, 1),
+                       "psnr": round(float(psnr_fn(gt, img)), 2)}
+result["sphere_traced"] = st_means
+
 with open(os.path.join(args.out, "results.json"), "w") as f:
     json.dump(result, f, indent=2)
 print("RESULT:", json.dumps(result))
