@@ -30,8 +30,15 @@ def timed_inner(fn, *args, iters=20, reps=3):
     ONE executable; subtract a 1-iteration executable's wall time."""
 
     def reduce_out(out):
+        # mask non-finite leaves (e.g. t_best = inf on miss pixels) so the
+        # chained carry stays finite — an inf/NaN carry perturbs the next
+        # iteration's inputs into an all-miss workload and the timed
+        # iterations no longer measure the real hit workload
         leaves = jax.tree.leaves(out)
-        return sum(jnp.sum(x.astype(jnp.float32)) for x in leaves)
+        return sum(
+            jnp.sum(jnp.where(jnp.isfinite(xf), xf, 0.0))
+            for xf in (x.astype(jnp.float32) for x in leaves)
+        )
 
     def make(n):
         @jax.jit

@@ -21,8 +21,14 @@ def timed_inner(fn, *args, iters=10, reps=3):
     """fn(acc_scalar, *args) -> pytree; seconds per eval net of dispatch."""
 
     def reduce_out(out):
+        # mask non-finite leaves so the chained carry stays finite (an inf
+        # carry would NaN-perturb later iterations' inputs; see
+        # profile_frame.timed_inner)
         leaves = jax.tree.leaves(out)
-        return sum(jnp.sum(x.astype(jnp.float32)) for x in leaves)
+        return sum(
+            jnp.sum(jnp.where(jnp.isfinite(xf), xf, 0.0))
+            for xf in (x.astype(jnp.float32) for x in leaves)
+        )
 
     def make(n):
         @jax.jit
