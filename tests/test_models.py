@@ -148,7 +148,7 @@ def test_encoder_analytic_spatial_grads_match_fd():
             fd = (np.asarray(f1) - np.asarray(feats0)) / eps
             # a few points straddle cell boundaries where the jacobian jumps;
             # compare the bulk
-            err = np.abs(fd - np.asarray(dfeats[..., k]))
+            err = np.abs(fd - np.asarray(dfeats[k]))
             scale = np.abs(fd).max() + 1e-3
             assert np.quantile(err / scale, 0.9) < 2e-2, type(enc).__name__
 
@@ -156,15 +156,15 @@ def test_encoder_analytic_spatial_grads_match_fd():
 def test_mlp_tangent_propagation_matches_jvp():
     mlp = MLP((16, 16, 4), last_layer_linear=True)
     x = jax.random.normal(jax.random.PRNGKey(0), (32, 8))
-    t = jax.random.normal(jax.random.PRNGKey(1), (32, 8, 3))
+    t = jax.random.normal(jax.random.PRNGKey(1), (3, 32, 8))  # K-leading
     params = mlp.init(jax.random.PRNGKey(2), x)
     y, dy = mlp.apply(params, x, t)
     y_plain = mlp.apply(params, x)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_plain), atol=1e-5)
     for k in range(3):
-        _, jvp_k = jax.jvp(lambda xx: mlp.apply(params, xx), (x,), (t[..., k],))
+        _, jvp_k = jax.jvp(lambda xx: mlp.apply(params, xx), (x,), (t[k],))
         np.testing.assert_allclose(
-            np.asarray(dy[..., k]), np.asarray(jvp_k), rtol=1e-4, atol=1e-5
+            np.asarray(dy[k]), np.asarray(jvp_k), rtol=1e-4, atol=1e-5
         )
 
 

@@ -77,8 +77,10 @@ class IdentityEncoder(nn.Module):
     @nn.compact
     def __call__(self, points, iter_nr=None, with_grads=False):
         if with_grads:
-            eye = jnp.broadcast_to(jnp.eye(3), points.shape[:-1] + (3, 3))
-            return points, eye, None
+            # K-leading jacobian [3, ..., 3] (shared encoder convention)
+            batch = points.shape[:-1]
+            eye = jnp.eye(3).reshape((3,) + (1,) * len(batch) + (3,))
+            return points, jnp.broadcast_to(eye, (3,) + batch + (3,)), None
         return points, None
 
 
@@ -112,7 +114,8 @@ class FrequencyEncoder(nn.Module):
             freq = 2.0**level
             dfeats.append(diag(freq * jnp.cos(points * freq)))
             dfeats.append(diag(-freq * jnp.sin(points * freq)))
-        return out, jnp.concatenate(dfeats, axis=-2), None
+        # K-leading jacobian (shared encoder convention)
+        return out, jnp.moveaxis(jnp.concatenate(dfeats, axis=-2), -1, 0), None
 
 
 class SHEncoder(nn.Module):
@@ -336,7 +339,8 @@ class HashGridEncoder(nn.Module):
         if self.remove_last_element:
             feats = feats[..., :-1]
             dfeats = dfeats[..., :-1, :]
-        return feats, dfeats, out_of_bounds
+        # K-leading jacobian (shared encoder convention; see PermutoEncoder)
+        return feats, jnp.moveaxis(dfeats, -1, 0), out_of_bounds
 
 
 # ---- table-gradient scatter --------------------------------------------------
@@ -573,6 +577,267 @@ def _hash_lookup_grad_bwd(layout, res, cots):
 _hash_lookup_grad.defvjp(_hash_lookup_grad_fwd, _hash_lookup_grad_bwd)
 
 
+# ---- corner-major fused lookup (2-D, layout-safe) ----------------------------
+# The [N, L, C(, F|3)] tensor shapes of the lookup above make XLA:TPU tile
+# the two MINOR axes to (sublane, 128): a trailing dim of 2/3/4 pads 32-64x,
+# so every materialized intermediate costs 32-64x its true HBM footprint and
+# VPU work (measured: the surf eval graph at 2048 rays OOMs on 18 GB of HLO
+# temps that hold 544 MB of data — f32[N,24,4,3] "T(4,128)" = 42.7x padding).
+# The _cm ("corner-major") formulation below keeps EVERY tensor 2-D and
+# N-major — [N, C*L] with corner-c/level-l at column c*L + l — so the lane
+# axis is always a wide fused dimension. Small static axes (corners,
+# features, spatial dims) become Python loops over column slices, and the
+# only reshapes are exact 0/1 matmuls (interleave/deinterleave), which stay
+# on the MXU instead of forcing a relayout.
+
+
+def _interleave_mats(L: int, F: int):
+    """S_f [L, L*F] one-hot scatter mats: column l*F+f <- part_f column l."""
+    mats = []
+    for f in range(F):
+        S = np.zeros((L, L * F), np.float32)
+        S[np.arange(L), np.arange(L) * F + f] = 1.0
+        mats.append(jnp.asarray(S))
+    return mats
+
+
+def _interleave_lf(parts):
+    """F tensors [N, L] -> [N, L*F] with column l*F+f (the same l-major,
+    f-minor order the [N, L, F].reshape(N, L*F) of the legacy path used, so
+    downstream MLP weights keep their meaning)."""
+    L = parts[0].shape[-1]
+    F = len(parts)
+    if F == 1:
+        return parts[0]
+    mats = _interleave_mats(L, F)
+    out = jnp.dot(parts[0], mats[0], preferred_element_type=jnp.float32)
+    for f in range(1, F):
+        out = out + jnp.dot(parts[f], mats[f], preferred_element_type=jnp.float32)
+    return out
+
+
+def _deinterleave_lf(x, L: int, F: int):
+    """[N, L*F] -> F tensors [N, L] (transpose of _interleave_lf)."""
+    if F == 1:
+        return [x]
+    mats = _interleave_mats(L, F)
+    return [
+        jnp.dot(x, m.T, preferred_element_type=jnp.float32) for m in mats
+    ]
+
+
+def _tile_c(x, C: int):
+    """[N, L] -> [N, C*L]: the per-level tensor repeated for every corner."""
+    return jnp.tile(x, (1, C))
+
+
+def _cm_gathers(flat_table, idx_cat, F: int):
+    """Per-feature scalar gathers: F tensors [N, C*L] from the flattened
+    table (1-D gathers keep the result layout 2-D N-major; a row gather of
+    F-wide rows materializes [M, F] minor-(M,F) and pads F -> 128)."""
+    tf = flat_table.reshape(-1)
+    return [tf[idx_cat * F + f] for f in range(F)]
+
+
+def _cm_feats(gs, bary, L: int, C: int):
+    """feats parts: per feature f, sum_c bary[:, cL:(c+1)L] * g_f[...]."""
+    parts = []
+    for g_f in gs:
+        wg = bary * g_f
+        acc = wg[:, :L]
+        for c in range(1, C):
+            acc = acc + wg[:, c * L : (c + 1) * L]
+        parts.append(acc)
+    return parts
+
+
+def _segment_sum_matmul_parts(idx, upd_fs, nr_rows: int):
+    """_segment_sum_matmul with the F update features passed as separate
+    1-D arrays (stacking them to [M, F] up front would materialize a
+    minor-(M, F) tensor; here only [chunk, F] slices exist inside the scan)."""
+    M = idx.shape[0]
+    F = len(upd_fs)
+    dtype = upd_fs[0].dtype
+    chunk = min(_next_pow2(M), max(512, _next_pow2((1 << 22) // max(nr_rows, 1))))
+    pad = (-M) % chunk
+    if pad:
+        idx = jnp.concatenate([idx, jnp.zeros((pad,), idx.dtype)])
+        upd_fs = [
+            jnp.concatenate([u, jnp.zeros((pad,), dtype)]) for u in upd_fs
+        ]
+    idx = idx.reshape(-1, chunk)
+    upd_fs = tuple(u.reshape(-1, chunk) for u in upd_fs)
+    rows = jnp.arange(nr_rows, dtype=idx.dtype)
+
+    def body(acc, xs):
+        i = xs[0]  # [chunk]
+        u = jnp.stack(xs[1:], axis=-1)  # [chunk, F] — chunk-sized only
+        onehot = (rows[:, None] == i[None, :]).astype(dtype)
+        return (
+            acc + jax.lax.dot(onehot, u, precision=jax.lax.Precision.HIGHEST)
+        ), None
+
+    acc, _ = jax.lax.scan(
+        body, jnp.zeros((nr_rows, F), dtype), (idx,) + upd_fs
+    )
+    return acc
+
+
+def _table_grad_accumulate_cm(meta, idx_cat, upd_fs, total_rows: int, dtype):
+    """Corner-major table cotangent: idx_cat [N, C*L] absolute rows,
+    upd_fs F tensors [N, C*L]. Dense one-hot matmul for the coarse-level
+    prefix (levels are the L axis of each corner block; the dense prefix is
+    columns c*L..c*L+k of every corner), scalar-flat scatter for the fine
+    levels. Returns [total_rows, F]."""
+    k, dense_rows, L, C, F = meta
+    if _TABLE_GRAD_MODE == "zero":
+        return jnp.zeros((total_rows, F), dtype) + 0.0 * upd_fs[0][0, 0]
+
+    def take(cols_lo, cols_hi, x):
+        return jnp.concatenate(
+            [x[:, c * L + cols_lo : c * L + cols_hi] for c in range(C)], axis=1
+        ).reshape(-1)
+
+    if k <= 0 or dense_rows <= 0:
+        d_dense = None
+        idx_fine = idx_cat.reshape(-1)
+        fine_fs = [u.reshape(-1) for u in upd_fs]
+        fine_rows = total_rows
+    else:
+        idx_dense = take(0, k, idx_cat)
+        dense_fs = [take(0, k, u) for u in upd_fs]
+        d_dense = _segment_sum_matmul_parts(idx_dense, dense_fs, dense_rows)
+        if k >= L:
+            return d_dense.astype(dtype)
+        idx_fine = take(k, L, idx_cat) - dense_rows
+        fine_fs = [take(k, L, u) for u in upd_fs]
+        fine_rows = total_rows - dense_rows
+    # scalar-flat scatter (the "flat" mode of the legacy path; the sorted /
+    # cplx experiments live on the legacy [M, F] interface only)
+    i2 = jnp.concatenate(
+        [idx_fine * F + f for f in range(F)]
+    )
+    vals = jnp.concatenate(fine_fs)
+    d_fine = (
+        jnp.zeros((fine_rows * F,), dtype).at[i2].add(vals).reshape(fine_rows, F)
+    )
+    if d_dense is None:
+        return d_fine
+    return jnp.concatenate([d_dense.astype(dtype), d_fine], axis=0)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _hash_lookup_cm(meta, flat_table, idx_cat, bary):
+    """Fused multi-level multi-corner lookup, corner-major 2-D form.
+
+    meta: static (nr_dense_levels, dense_rows, L, C, F).
+    flat_table [R, F]; idx_cat [N, C*L] absolute rows (column c*L + l);
+    bary [N, C*L] interpolation weights.
+    Returns feats [N, L*F] (column l*F + f — identical ordering to the
+    legacy [N, L, F].reshape). custom_vjp: backward is ONE accumulation
+    (dense matmul prefix + one flat scatter), like _hash_lookup."""
+    _, _, L, C, F = meta
+    gs = _cm_gathers(flat_table, idx_cat, F)
+    return _interleave_lf(_cm_feats(gs, bary, L, C))
+
+
+def _hash_lookup_cm_fwd(meta, flat_table, idx_cat, bary):
+    _, _, L, C, F = meta
+    gs = _cm_gathers(flat_table, idx_cat, F)
+    feats = _interleave_lf(_cm_feats(gs, bary, L, C))
+    return feats, (tuple(gs), idx_cat, bary, flat_table.shape[0])
+
+
+def _hash_lookup_cm_bwd(meta, res, dout):
+    gs, idx_cat, bary, table_rows = res
+    _, _, L, C, F = meta
+    douts = _deinterleave_lf(dout, L, F)  # F x [N, L]
+    d_bary = None
+    upd_fs = []
+    for f in range(F):
+        dt = _tile_c(douts[f], C)  # [N, C*L]
+        contrib = gs[f] * dt
+        d_bary = contrib if d_bary is None else d_bary + contrib
+        upd_fs.append(bary * dt)
+    d_table = _table_grad_accumulate_cm(
+        meta, idx_cat, upd_fs, table_rows, dout.dtype
+    )
+    return d_table, None, d_bary
+
+
+_hash_lookup_cm.defvjp(_hash_lookup_cm_fwd, _hash_lookup_cm_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _hash_lookup_grad_cm(meta, flat_table, idx_cat, bary, dbary):
+    """Corner-major fused lookup returning features AND their spatial
+    jacobian from one gather set (the 2-D replacement of _hash_lookup_grad).
+
+    dbary [3, N, C*L]: K-LEADING spatial weight derivatives (the K axis
+    leads so no tensor ever has a size-3 minor dim). Returns
+    (feats [N, L*F], dfeats [3, N, L*F])."""
+    _, _, L, C, F = meta
+    gs = _cm_gathers(flat_table, idx_cat, F)
+    feats = _interleave_lf(_cm_feats(gs, bary, L, C))
+    dfeats = jnp.stack(
+        [
+            _interleave_lf(_cm_feats(gs, dbary[k], L, C))
+            for k in range(dbary.shape[0])
+        ],
+        axis=0,
+    )
+    return feats, dfeats
+
+
+def _hash_lookup_grad_cm_fwd(meta, flat_table, idx_cat, bary, dbary):
+    _, _, L, C, F = meta
+    gs = _cm_gathers(flat_table, idx_cat, F)
+    feats = _interleave_lf(_cm_feats(gs, bary, L, C))
+    dfeats = jnp.stack(
+        [
+            _interleave_lf(_cm_feats(gs, dbary[k], L, C))
+            for k in range(dbary.shape[0])
+        ],
+        axis=0,
+    )
+    return (feats, dfeats), (
+        tuple(gs), idx_cat, bary, dbary, flat_table.shape[0]
+    )
+
+
+def _hash_lookup_grad_cm_bwd(meta, res, cots):
+    gs, idx_cat, bary, dbary, table_rows = res
+    _, _, L, C, F = meta
+    gf, gd = cots  # [N, L*F], [K, N, L*F]
+    K = dbary.shape[0]
+    douts = _deinterleave_lf(gf, L, F)
+    gdouts = [_deinterleave_lf(gd[k], L, F) for k in range(K)]
+    d_bary = None
+    d_dbary_ks = []
+    upd_fs = []
+    for f in range(F):
+        dt = _tile_c(douts[f], C)
+        contrib = gs[f] * dt
+        d_bary = contrib if d_bary is None else d_bary + contrib
+        upd = bary * dt
+        for k in range(K):
+            upd = upd + dbary[k] * _tile_c(gdouts[k][f], C)
+        upd_fs.append(upd)
+    for k in range(K):
+        acc = None
+        for f in range(F):
+            contrib = gs[f] * _tile_c(gdouts[k][f], C)
+            acc = contrib if acc is None else acc + contrib
+        d_dbary_ks.append(acc)
+    d_table = _table_grad_accumulate_cm(
+        meta, idx_cat, upd_fs, table_rows, gf.dtype
+    )
+    return d_table, None, d_bary, jnp.stack(d_dbary_ks, axis=0)
+
+
+_hash_lookup_grad_cm.defvjp(_hash_lookup_grad_cm_fwd, _hash_lookup_grad_cm_bwd)
+
+
 class PermutoEncoder(nn.Module):
     """Permutohedral-lattice hash encoding (4 simplex taps per level in 3D).
 
@@ -653,89 +918,117 @@ class PermutoEncoder(nn.Module):
             )
         window = c2f_window(t, L)
 
-        scales = jnp.asarray(self._scales(), jnp.float32)
+        scales_np = np.asarray(self._scales(), np.float32)
         batch_shape = unit.shape[:-1]
         p = unit.reshape(-1, 3)
-        N = p.shape[0]
 
-        # embed into the hyperplane sum(x)=0 of R^{d+1} (standard permutohedral
-        # basis: E maps R^d isometrically onto H_d)
-        # build E columns: e_i has 1/sqrt((i+1)(i+2)) in first i+1 rows and
-        # -(i+1)/sqrt((i+1)(i+2)) at row i+1
+        # ---- corner-major 2-D formulation ----------------------------------
+        # Every tensor below is [N, L] or [N, (d+1)*L]: small static axes
+        # (the d+1 simplex residuals j, the d+1 corners c, the 3 spatial
+        # dims k) are Python loops over column slices, never tensor axes —
+        # a size-3/4 minor axis would make XLA pad its 128-lane tile 32-64x
+        # (see the _cm primitives above for the measured failure).
+
+        # embed into the hyperplane sum(x)=0 of R^{d+1} (standard
+        # permutohedral basis: E maps R^d isometrically onto H_d); the
+        # per-level 1/scale is folded into one [3, (d+1)*L] projection
+        # matrix so elevation is a single matmul
         E = np.zeros((d + 1, d), np.float32)
         for i in range(d):
             E[: i + 1, i] = 1.0 / np.sqrt((i + 1) * (i + 2))
             E[i + 1, i] = -(i + 1) / np.sqrt((i + 1) * (i + 2))
-        E = jnp.asarray(E * np.sqrt(2.0 / 3.0) * (d + 1))  # scale to lattice units
-
-        # [N, L, d+1]: scale per level then elevate
-        scaled = p[:, None, :] / scales[None, :, None]
-        elevated = jnp.einsum("nld,kd->nlk", scaled, E)
+        E = E * np.sqrt(2.0 / 3.0) * (d + 1)  # scale to lattice units
+        W = np.zeros((3, (d + 1) * L), np.float32)
+        for j in range(d + 1):
+            W[:, j * L : (j + 1) * L] = E[j, :, None] / scales_np[None, :]
+        elev = jnp.dot(p, jnp.asarray(W), preferred_element_type=jnp.float32)
+        ej = [elev[:, j * L : (j + 1) * L] for j in range(d + 1)]
         # re-project onto the sum=0 hyperplane: exact in real arithmetic, but
         # float32 drift at fine scales otherwise breaks the single-wrap rank
         # correction (sum_rem must stay in [-(d+1)/2, (d+1)/2])
-        elevated = elevated - jnp.mean(elevated, axis=-1, keepdims=True)
+        mean = (ej[0] + ej[1] + ej[2] + ej[3]) * (1.0 / (d + 1))
+        ej = [e - mean for e in ej]
 
-        # find the closest remainder-0 lattice point
-        down = jnp.floor(elevated / (d + 1)) * (d + 1)
-        up = down + (d + 1)
-        rem0 = jnp.where(elevated - down < up - elevated, down, up)
-        sum_rem = jnp.sum(rem0, axis=-1, keepdims=True) / (d + 1)
+        # closest remainder-0 lattice point, per residual j
+        rem0 = []
+        for e in ej:
+            down = jnp.floor(e / (d + 1)) * (d + 1)
+            up = down + (d + 1)
+            rem0.append(jnp.where(e - down < up - e, down, up))
+        sum_rem = (rem0[0] + rem0[1] + rem0[2] + rem0[3]) * (1.0 / (d + 1))
 
         # rank the residuals to identify the simplex: rank_i = number of
-        # residuals greater than diff_i (largest -> rank 0). Double argsort
-        # instead of a pairwise [.., d+1, d+1] comparison tensor (4x memory).
-        diff = elevated - rem0
-        order = jnp.argsort(-diff, axis=-1)
-        rank = jnp.argsort(order, axis=-1).astype(jnp.int32)
-        rank = rank + sum_rem.astype(jnp.int32)
-        rem0 = jnp.where(rank < 0, rem0 + (d + 1), rem0)
-        rank = jnp.where(rank < 0, rank + (d + 1), rank)
-        rem0 = jnp.where(rank > d, rem0 - (d + 1), rem0)
-        rank = jnp.where(rank > d, rank - (d + 1), rank)
+        # residuals greater than diff_i (largest -> rank 0), ties broken by
+        # index — the classic pairwise loop of the permutohedral lattice
+        # (6 [N, L] comparisons; equals the stable double-argsort)
+        diff = [ej[j] - rem0[j] for j in range(d + 1)]
+        rank = [jnp.zeros_like(diff[0], dtype=jnp.int32) for _ in range(d + 1)]
+        for i in range(d + 1):
+            for j in range(i + 1, d + 1):
+                lt = (diff[i] < diff[j]).astype(jnp.int32)
+                rank[i] = rank[i] + lt
+                rank[j] = rank[j] + (1 - lt)
+        sr = sum_rem.astype(jnp.int32)
+        for j in range(d + 1):
+            r = rank[j] + sr
+            rem0[j] = jnp.where(r < 0, rem0[j] + (d + 1), rem0[j])
+            r = jnp.where(r < 0, r + (d + 1), r)
+            rem0[j] = jnp.where(r > d, rem0[j] - (d + 1), rem0[j])
+            rank[j] = jnp.where(r > d, r - (d + 1), r)
 
-        # barycentric coordinates: b[d-rank_i] += diff_i, b[d+1-rank_i] -= diff_i,
-        # b[0] += 1 + b[d+1]. Computed as fixed-size masked sums instead of a
-        # scatter (TPU scatters serialize; this is pure VPU work).
-        diff = (elevated - rem0) / (d + 1)
-        idx_b = d - rank  # [N, L, d+1] in [0, d]
-        # spatial derivative of diff is point-independent inside a simplex:
-        # ddiff[l, j, k] = E[j, k] / ((d+1) * scales_l) * dunit_dp_k
-        if with_grads:
-            ddiff = (
-                E[None, :, :] / (d + 1)
-                / scales[:, None, None]
-                * dunit_dp[None, None, :]
-            )  # [L, d+1, 3]
-        bary_slots, dbary_slots = [], []
+        # barycentric slots: b[d-rank_j] += diff_j, b[d+1-rank_j] -= diff_j,
+        # b[0] += 1 + b[d+1] — fixed-size masked sums, pure VPU work
+        diff = [(ej[j] - rem0[j]) * (1.0 / (d + 1)) for j in range(d + 1)]
+        idx_b = [d - rank[j] for j in range(d + 1)]
+        bary_slots = []
+        masks = []  # per (slot, j) +-1 masks, reused by the jacobian
         for slot in range(d + 2):
-            pos_m = idx_b == slot
-            neg_m = idx_b + 1 == slot
-            pos = jnp.sum(jnp.where(pos_m, diff, 0.0), axis=-1)
-            neg = jnp.sum(jnp.where(neg_m, diff, 0.0), axis=-1)
+            pos = neg = None
+            mrow = []
+            for j in range(d + 1):
+                pos_m = idx_b[j] == slot
+                neg_m = idx_b[j] == slot - 1
+                pj = jnp.where(pos_m, diff[j], 0.0)
+                nj = jnp.where(neg_m, diff[j], 0.0)
+                pos = pj if pos is None else pos + pj
+                neg = nj if neg is None else neg + nj
+                if with_grads:
+                    mrow.append(
+                        pos_m.astype(jnp.float32) - neg_m.astype(jnp.float32)
+                    )
             bary_slots.append(pos - neg)
-            if with_grads:
-                m = (pos_m.astype(jnp.float32) - neg_m.astype(jnp.float32))
-                dbary_slots.append(
-                    jnp.einsum("nlj,ljk->nlk", m, ddiff)
-                )
-        bary = jnp.stack(bary_slots, axis=-1)  # [N, L, d+2]
-        bary = bary.at[..., 0].add(1.0 + bary[..., d + 1])
-        bary = bary[..., : d + 1]  # [N, L, d+1] weights
+            masks.append(mrow)
+        bary_slots[0] = bary_slots[0] + (1.0 + bary_slots[d + 1])
+        # corner weights c=0..d, concatenated corner-major [N, (d+1)*L]
+        bary_cat = jnp.concatenate(bary_slots[: d + 1], axis=1)
 
-        corner_idx = []
+        # corner keys -> hashed absolute rows, per corner (key = rem0 +
+        # (d+1) for coordinates whose rank >= d+1-corner; last coord dropped)
         level_off = jnp.asarray(offsets, jnp.int32)[None, :]
-        sizes_arr = jnp.asarray(sizes, jnp.int32)[None, :]
+        sizes_arr = jnp.asarray(sizes, jnp.uint32)[None, :]
+        primes = [jnp.uint32(_PRIMES[0]), jnp.uint32(_PRIMES[1]),
+                  jnp.uint32(_PRIMES[2])]
+        idx_corners = []
         for corner in range(d + 1):
-            # corner key = rem0 + (d+1) for coordinates whose rank >= d+1-corner
-            add = jnp.where(rank >= d + 1 - corner, float(d + 1), 0.0)
-            key = (rem0 + add).astype(jnp.int32)[..., :d]  # drop last coord
-            corner_idx.append(_hash_coords(key, sizes_arr) + level_off)
-        flat_idx = jnp.stack(corner_idx, axis=-1)  # [N, L, d+1] absolute rows
+            h = None
+            for k3 in range(d):  # first d of the d+1 lattice coords
+                add = jnp.where(
+                    rank[k3] >= d + 1 - corner, float(d + 1), 0.0
+                )
+                key = (rem0[k3] + add).astype(jnp.int32).astype(jnp.uint32)
+                term = key * primes[k3]
+                h = term if h is None else h ^ term
+            idx_corners.append(
+                (h % sizes_arr).astype(jnp.int32) + level_off
+            )
+        idx_cat = jnp.concatenate(idx_corners, axis=1)  # [N, (d+1)*L]
+
+        meta = (nr_dense, dense_rows, L, d + 1, F)
+        window_rep = jnp.repeat(window, F)  # [L*F], traced (c2f)
 
         if not with_grads:
-            feats = _hash_lookup(layout, table, flat_idx, bary)
-            feats = feats * window[None, :, None]
+            feats = _hash_lookup_cm(meta, table, idx_cat, bary_cat)
+            feats = feats * window_rep[None, :]
             feats = feats.reshape(*batch_shape, L * F)
             if self.concat_points:
                 feats = jnp.concatenate([feats, unit], axis=-1)
@@ -743,21 +1036,49 @@ class PermutoEncoder(nn.Module):
                 feats = feats[..., :-1]
             return feats, out_of_bounds
 
-        dbary = jnp.stack(dbary_slots, axis=-2)  # [N, L, d+2, 3]
-        dbary = dbary.at[..., 0, :].add(dbary[..., d + 1, :])
-        dbary = dbary[..., : d + 1, :]
-        feats, dfeats = _hash_lookup_grad(layout, table, flat_idx, bary, dbary)
-        feats = feats * window[None, :, None]
-        dfeats = dfeats * window[None, :, None, None]
+        # jacobian of the corner weights: d diff_j / d p_k is constant
+        # inside a simplex — ddiff[j][k] = E[j, k] / ((d+1) * scales_l)
+        # * dunit_dp_k, a [L] vector per (residual j, spatial k)
+        ddiff = [
+            [
+                jnp.asarray(E[j, k3] / (d + 1) / scales_np) * dunit_dp[k3]
+                for k3 in range(3)
+            ]
+            for j in range(d + 1)
+        ]
+        dbary_ks = []
+        for k3 in range(3):
+            slots = []
+            for slot in range(d + 2):
+                acc = None
+                for j in range(d + 1):
+                    term = masks[slot][j] * ddiff[j][k3][None, :]
+                    acc = term if acc is None else acc + term
+                slots.append(acc)
+            slots[0] = slots[0] + slots[d + 1]
+            dbary_ks.append(jnp.concatenate(slots[: d + 1], axis=1))
+        dbary = jnp.stack(dbary_ks, axis=0)  # [3, N, (d+1)*L]
+
+        feats, dfeats = _hash_lookup_grad_cm(
+            meta, table, idx_cat, bary_cat, dbary
+        )
+        feats = feats * window_rep[None, :]
+        dfeats = dfeats * window_rep[None, None, :]
         feats = feats.reshape(*batch_shape, L * F)
-        dfeats = dfeats.reshape(*batch_shape, L * F, 3)
+        dfeats = dfeats.reshape(3, *batch_shape, L * F)
         if self.concat_points:
             feats = jnp.concatenate([feats, unit], axis=-1)
-            dunit = jnp.broadcast_to(jnp.diag(dunit_dp), batch_shape + (3, 3))
-            dfeats = jnp.concatenate([dfeats, dunit], axis=-2)
+            # d unit_i / d p_k = diag(dunit_dp): K-leading broadcast
+            dunit = jnp.broadcast_to(
+                jnp.diag(dunit_dp).reshape(
+                    (3,) + (1,) * len(batch_shape) + (3,)
+                ),
+                (3,) + batch_shape + (3,),
+            )
+            dfeats = jnp.concatenate([dfeats, dunit], axis=-1)
         if self.remove_last_element:
             feats = feats[..., :-1]
-            dfeats = dfeats[..., :-1, :]
+            dfeats = dfeats[..., :-1]
         return feats, dfeats, out_of_bounds
 
 

@@ -57,10 +57,10 @@ class SDF(nn.Module):
             geom_feats = pred[..., 1:] if self.geom_feat_size > 0 else None
             return sdf, geom_feats
         feats, dfeats, _ = enc(points, iter_nr, with_grads=True)
-        pred, dpred = mlp(feats, tangents=dfeats)
+        pred, dpred = mlp(feats, tangents=dfeats)  # dpred [3, ..., out]
         sdf = pred[..., 0:1]
         geom_feats = pred[..., 1:] if self.geom_feat_size > 0 else None
-        sdf_grad = dpred[..., 0, :]
+        sdf_grad = jnp.moveaxis(dpred[..., 0], 0, -1)  # [..., 3]
         return sdf, geom_feats, sdf_grad
 
 
@@ -136,7 +136,7 @@ class OffsetsSDF(nn.Module):
         pred, dpred = self.mlp_sdf(feats, tangents=dfeats)
         if not train_main_surf:
             dpred = jax.lax.stop_gradient(dpred)
-        return dpred[..., 0, :]
+        return jnp.moveaxis(dpred[..., 0], 0, -1)  # [..., 3]
 
     def get_offsets(self, geom_feats, train_offsets: bool = True):
         """(cum_inner_eps, cum_outer_eps, inner_eps, outer_eps)
@@ -185,22 +185,24 @@ class OffsetsSDF(nn.Module):
             return sdfs, offsets, geom_feats
 
         feats, dfeats, _ = self.pos_encoder(points, iter_nr, with_grads=True)
-        pred, dpred = self.mlp_sdf(feats, tangents=dfeats)
+        pred, dpred = self.mlp_sdf(feats, tangents=dfeats)  # dpred [3, ..., out]
         if not train_main_surf:
             pred = jax.lax.stop_gradient(pred)
             dpred = jax.lax.stop_gradient(dpred)
         sdf = pred[..., 0:1]
-        sdf_grad = dpred[..., 0, :]  # [..., 3]
         geom_feats = pred[..., 1:] if self.geom_feat_size > 0 else None
-        dgeom = dpred[..., 1:, :] if self.geom_feat_size > 0 else None
+        dgeom = dpred[..., 1:] if self.geom_feat_size > 0 else None
         if self.nr_surfs == 1:
+            sdf_grad = jnp.moveaxis(dpred[..., 0], 0, -1)  # [..., 3]
             return sdf[..., None, :], None, geom_feats, sdf_grad[..., None, :]
 
-        # eps heads with tangents (chain rule through geom_feats)
+        # eps heads with tangents (chain rule through geom_feats); the K=3
+        # spatial axis stays LEADING through the whole chain (encoder/MLP
+        # tangent convention) and only the final [..., S, 3] moves it back
         if self.use_per_offset_mlp:
             pairs = [m(geom_feats, tangents=dgeom) for m in self.mlps_eps]
             eps = jnp.concatenate([p[0] for p in pairs], axis=-1)
-            deps = jnp.concatenate([p[1] for p in pairs], axis=-2)
+            deps = jnp.concatenate([p[1] for p in pairs], axis=-1)  # [3, ..., S-1]
         else:
             eps, deps = self.mlp_eps(geom_feats, tangents=dgeom)
         if not train_offsets:
@@ -211,18 +213,18 @@ class OffsetsSDF(nn.Module):
         sig = jax.nn.sigmoid(eps)  # softplus'
         inner_eps = jax.nn.softplus(eps[..., self.nr_outer_surfs :])
         outer_eps = -jax.nn.softplus(eps[..., : self.nr_outer_surfs])
-        dinner = sig[..., self.nr_outer_surfs :, None] * deps[
-            ..., self.nr_outer_surfs :, :
+        dinner = sig[None, ..., self.nr_outer_surfs :] * deps[
+            ..., self.nr_outer_surfs :
         ]
-        douter = -sig[..., : self.nr_outer_surfs, None] * deps[
-            ..., : self.nr_outer_surfs, :
+        douter = -sig[None, ..., : self.nr_outer_surfs] * deps[
+            ..., : self.nr_outer_surfs
         ]
         cum_outer = _small_cumsum(outer_eps, -1) - self.min_offset
         cum_inner = take_rev(
             _small_cumsum(inner_eps, -1) + self.min_offset, axis=-1
         )
-        dcum_outer = _small_cumsum(douter, -2)
-        dcum_inner = take_rev(_small_cumsum(dinner, -2), axis=-2)
+        dcum_outer = _small_cumsum(douter, -1)
+        dcum_inner = take_rev(_small_cumsum(dinner, -1), axis=-1)
 
         sdfs = jnp.concatenate(
             [sdf + cum_inner, sdf, sdf + cum_outer], axis=-1
@@ -230,9 +232,10 @@ class OffsetsSDF(nn.Module):
         offsets = jnp.concatenate(
             [inner_eps, jnp.zeros_like(sdf), outer_eps], axis=-1
         )[..., None]
-        g = sdf_grad[..., None, :]
-        sdfs_grad = jnp.concatenate(
-            [g + dcum_inner, g, g + dcum_outer], axis=-2
+        g = dpred[..., 0:1]  # [3, ..., 1]
+        sdfs_grad = jnp.moveaxis(
+            jnp.concatenate([g + dcum_inner, g, g + dcum_outer], axis=-1),
+            0, -1,
         )  # [..., S, 3]
         return sdfs, offsets, geom_feats, sdfs_grad
 

@@ -38,13 +38,15 @@ class MLP(nn.Module):
     def __call__(self, x, tangents=None):
         """x [..., D] -> [..., layer_dims[-1]].
 
-        tangents [..., D, K]: optionally propagate K jacobian-vector products
-        alongside the primal (returns (y, dy [..., out, K])). The tangents
-        ride the SAME Dense submodules as extra batch rows (bias is cancelled
-        with a zero row), so the parameter tree is unchanged and the extra
-        cost is one wider matmul per layer — this is how spatial SDF
-        gradients chain through the MLP without re-evaluating the encoder
-        (see encodings._hash_lookup_grad)."""
+        tangents [K, ..., D]: optionally propagate K jacobian-vector products
+        alongside the primal (returns (y, dy [K, ..., out])). The K axis
+        LEADS (encoder jacobian convention): a trailing size-3 axis would
+        make XLA pad its 128-lane tile 42x on every materialized tangent
+        tensor. The tangents ride the SAME Dense submodules as extra batch
+        rows (bias is cancelled with a zero row), so the parameter tree is
+        unchanged and the extra cost is one wider matmul per layer — this is
+        how spatial SDF gradients chain through the MLP without
+        re-evaluating the encoder (see encodings._hash_lookup_grad_cm)."""
         act = {"gelu": nn.gelu, "relu": nn.relu}[self.activation]
         dtype = jnp.dtype(self.dtype) if self.dtype is not None else None
         n = len(self.layer_dims)
@@ -58,7 +60,7 @@ class MLP(nn.Module):
                     x = act(x)
             return x if dtype is None else x.astype(jnp.float32)
 
-        t = jnp.moveaxis(tangents, -1, 0)  # [K, ..., D]
+        t = tangents  # [K, ..., D]
         for i, dim in enumerate(self.layer_dims):
             dense = nn.Dense(
                 dim, use_bias=self.use_bias, dtype=dtype, name=f"dense_{i}"
@@ -78,7 +80,7 @@ class MLP(nn.Module):
         if dtype is not None:
             x = x.astype(jnp.float32)
             t = t.astype(jnp.float32)
-        return x, jnp.moveaxis(t, 0, -1)
+        return x, t
 
 
 class LipshitzMLP(nn.Module):
