@@ -2,6 +2,7 @@
 
 import jax
 import numpy as np
+import pytest
 
 from volsurfs_tpu.datasets.mvdataset import MVDataset
 from volsurfs_tpu.methods.nerf import NeRF
@@ -10,6 +11,7 @@ from volsurfs_tpu.params.hyper_params import HyperParamsNeRF
 from volsurfs_tpu.training.trainer import Trainer
 
 
+@pytest.mark.slow
 def test_nerf_trains_and_renders(tmp_path):
     hp = HyperParamsNeRF(
         is_nr_training_rays_dynamic=False,

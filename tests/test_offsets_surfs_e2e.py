@@ -3,6 +3,7 @@ offsets-init converges toward the target deltas, rendering works."""
 
 import jax
 import numpy as np
+import pytest
 
 from volsurfs_tpu.datasets.mvdataset import MVDataset
 from volsurfs_tpu.methods.offsets_surfs import OffsetsSurfs, get_offsets_gt
@@ -17,6 +18,7 @@ def test_offsets_gt_layout():
     np.testing.assert_allclose(gt, [0.3, 0.2, 0.1, -0.1, -0.2], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_offsets_surfs_phases_train(tmp_path):
     hp = HyperParamsOffsetsSuRFs(
         is_nr_training_rays_dynamic=False,

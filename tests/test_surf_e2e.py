@@ -56,6 +56,7 @@ def setup():
     return hp, mv, method
 
 
+@pytest.mark.slow
 def test_surf_trains_and_renders(setup, tmp_path_factory):
     hp, mv, method = setup
     run_dir = str(tmp_path_factory.mktemp("surf_run"))

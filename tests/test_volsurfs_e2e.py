@@ -31,6 +31,7 @@ def shell_meshes():
     return meshes
 
 
+@pytest.mark.slow
 def test_volsurfs_trains_and_renders(shell_meshes, tmp_path):
     hp = HyperParamsVolSurfs(
         is_nr_training_rays_dynamic=False,
