@@ -229,20 +229,22 @@ def main():
     print(f"  texture filtering alone: {t*1e3:.2f} ms", flush=True)
 
     # ---- full frame ---------------------------------------------------------
-    def full_frame(acc, scn, intr, c2w, w2c, nb):
+    def full_frame(acc, scn, intr, c2w, w2c, nb, ns):
         return r._render_frame_tiles(
             scn, intr, c2w + acc, w2c, width=W, height=H, nr_cand=nr_cand,
-            use_cull=True, nr_blocks=nb,
+            use_cull=True, nr_blocks=nb, nr_shade_tiles=ns,
         )[0]
 
-    for nb in (0, nr_blocks):
+    for nb, ns in ((0, 0), (nr_blocks, 0), (nr_blocks, nr_shade)):
         t = timed_inner(
-            lambda acc, scn, i_, c_, w_: full_frame(acc, scn, i_, c_, w_, nb),
+            lambda acc, scn, i_, c_, w_: full_frame(
+                acc, scn, i_, c_, w_, nb, ns
+            ),
             scene, intrj, c2w, w2c, iters=10,
         )
         mrays = W * H / t / 1e6
-        print(f"full frame nb={nb}: {t*1e3:.2f} ms  ({mrays:.2f} Mrays/s)",
-              flush=True)
+        print(f"full frame nb={nb} ns={ns}: {t*1e3:.2f} ms  "
+              f"({mrays:.2f} Mrays/s)", flush=True)
 
 
 if __name__ == "__main__":

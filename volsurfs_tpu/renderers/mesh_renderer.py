@@ -609,7 +609,14 @@ class BakedMeshRenderer:
                             nr_shade_tiles=0):
         """lax.scan over a batch of cameras: renders B frames in ONE
         executable so per-frame host dispatch (expensive through remote
-        tunnels, and pure overhead for a swapchain workload) is paid once."""
+        tunnels, and pure overhead for a swapchain workload) is paid once.
+
+        Measured dead end: vmapping GROUPS of frames per scan step (2-16
+        cameras per step, amortizing per-op fixed costs) is monotonically
+        SLOWER on the 512^2 5-shell orbit — 9.8 Mrays/s at 1 frame/step vs
+        9.3/9.1/8.7/8.5 at 2/4/8/16 — the post-compaction frame is bound by
+        real per-element work, not op overhead, and the batched lowerings
+        (vmapped top_k/scatter) lower worse. See RESULTS.md round 4."""
 
         def step(_, cams):
             intr, c2w, w2c = cams
