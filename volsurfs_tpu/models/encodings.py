@@ -632,11 +632,19 @@ def _tile_c(x, C: int):
 
 
 def _cm_gathers(flat_table, idx_cat, F: int):
-    """Per-feature scalar gathers: F tensors [N, C*L] from the flattened
-    table (1-D gathers keep the result layout 2-D N-major; a row gather of
-    F-wide rows materializes [M, F] minor-(M,F) and pads F -> 128)."""
-    tf = flat_table.reshape(-1)
-    return [tf[idx_cat * F + f] for f in range(F)]
+    """Row gather + per-feature column split: F tensors [N, C*L].
+
+    One [R, F]-row gather per lookup — TPU random-gather cost is per
+    ACCESS, not per byte, so one F-wide row access beats F scalar
+    gathers. Measured at the real shape (N=49152, C*L=96, R=3.95M rows,
+    /tmp/bench_cm_gather.py on v5e): row gather 21 ms vs 68 ms for two
+    1-D scalar gathers vs 103 ms for a complex64-packed gather (complex
+    lowering is bad on TPU, like the round-3 cplx scatter). The gather
+    result feeds straight into 2-D [N, C*L] slices, which XLA lays out
+    fine — the 42x padding pathology was specific to the einsum/conv
+    consumption of the legacy [N, L, C, F] form."""
+    g = flat_table[idx_cat]  # [N, C*L, F]
+    return [g[..., f] for f in range(F)]
 
 
 def _cm_feats(gs, bary, L: int, C: int):
