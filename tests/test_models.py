@@ -186,7 +186,14 @@ def test_sdf_with_grads_table_gradient_correct():
             jax.config.update("jax_enable_x64", False)
 
     with enable_x64():
-        sdf = F.SDF(mlp_layers_dims=(16,), encoding_type="gridhash", geom_feat_size=4)
+        _check_table_gradient("gridhash", "HashGridEncoder_0")
+        _check_table_gradient("permutohash", "PermutoEncoder_0")
+
+
+def _check_table_gradient(encoding_type, enc_name):
+        import flax
+
+        sdf = F.SDF(mlp_layers_dims=(16,), encoding_type=encoding_type, geom_feat_size=4)
         pts = jax.random.uniform(jax.random.PRNGKey(0), (16, 3), minval=-0.5, maxval=0.5)
         params = sdf.init(jax.random.PRNGKey(1), pts)
 
@@ -202,8 +209,8 @@ def test_sdf_with_grads_table_gradient_correct():
             )
 
         grad = jax.grad(loss_fn)(params)
-        table = params["params"]["HashGridEncoder_0"]["table"]
-        gtable = np.asarray(grad["params"]["HashGridEncoder_0"]["table"])
+        table = params["params"][enc_name]["table"]
+        gtable = np.asarray(grad["params"][enc_name]["table"])
         # numerical check on the 8 largest-gradient entries
         flat = np.abs(gtable).reshape(-1)
         order = np.argsort(-flat)[:8]
@@ -213,7 +220,7 @@ def test_sdf_with_grads_table_gradient_correct():
             t2 = np.asarray(table).copy()
             t2[idx] += delta
             p2 = flax.core.unfreeze(params)
-            p2["params"]["HashGridEncoder_0"]["table"] = jnp.asarray(t2)
+            p2["params"][enc_name]["table"] = jnp.asarray(t2)
             return float(loss_fn(p2))
 
         for o in order:
