@@ -18,9 +18,18 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# VOLSURFS_TPU_TESTS=1 keeps the real TPU backend so the on-chip
+# regression-replay tier (tests marked `tpu`) can run against the chip;
+# everything else runs on the virtual 8-device CPU mesh.
+if os.environ.get("VOLSURFS_TPU_TESTS") != "1":
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long-running end-to-end test")
+    config.addinivalue_line(
+        "markers",
+        "tpu: on-chip regression replay (needs VOLSURFS_TPU_TESTS=1 and a "
+        "real TPU; skips cleanly on CPU)",
+    )
