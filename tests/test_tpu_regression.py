@@ -61,9 +61,15 @@ def test_baked_render_replays_committed_psnr():
     )
     renderer = BakedMeshRenderer(SCENE_DIR)
     test = mv["test"]
+    # budget pre-pass like bench.py: with properly sized budgets no frame
+    # may take an overflow-retry fallback (perf hygiene, asserted below)
+    nr_cand, nr_blocks, nr_shade = renderer.suggest_budgets(test.cameras)
     psnrs = []
     for i, camera in enumerate(test.cameras):
-        img = renderer.render_frame(camera)
+        img = renderer.render_frame(
+            camera, nr_cand=nr_cand, nr_blocks=nr_blocks,
+            nr_shade_tiles=nr_shade,
+        )
         gt = np.asarray(test.rgbs[i]).reshape(res, res, 3)
         psnrs.append(float(psnr(gt, np.asarray(img))))
     mean_psnr = float(np.mean(psnrs))
