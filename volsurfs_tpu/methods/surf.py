@@ -253,6 +253,16 @@ class Surf:
         beta = get_logistic_beta_from_variance(variance)
         n_imp = hp.max_nr_imp_samples_per_ray
 
+        # Stage-seam optimization barriers: letting XLA fuse the whole
+        # DDA -> CDF round 1 -> combine -> CDF round 2 -> combine pipeline
+        # into one graph makes compile time blow up super-linearly in the
+        # ray-chunk size (measured: 1561 s at the reference's 16384-ray
+        # eval chunk vs ~1 min at 4096, while every stage alone compiles in
+        # 1-20 s). The barriers bound each fusion region to one stage;
+        # runtime is unchanged (the seams materialize only the [R, S]
+        # sample tensors, which the stages would write anyway).
+        uniform = jax.lax.optimization_barrier(uniform)
+
         def weights_cdf(samples, sdf, beta_value):
             alpha = VR.sdf2alpha(samples, sdf, beta_value)
             w, _, _ = VR.neus_weights(samples, alpha)
@@ -264,6 +274,7 @@ class Surf:
         sdf_u = sdf_u[..., 0]
         cdf = weights_cdf(uniform, sdf_u, beta / 2.0)
         imp1 = VR.importance_sample(uniform, cdf, n_imp // 2, k_imp1 if jitter else None)
+        imp1, sdf_u = jax.lax.optimization_barrier((imp1, sdf_u))
 
         sdf_i1, _ = self._sdf_fn(sg_params, imp1.positions(), iter_nr)
         sdf_i1 = sdf_i1[..., 0]
@@ -271,8 +282,10 @@ class Surf:
             uniform, imp1, hp.min_dist_between_samples,
             sdf_u[..., None], sdf_i1[..., None],
         )
+        combined1, comb_sdf = jax.lax.optimization_barrier((combined1, comb_sdf))
         cdf2 = weights_cdf(combined1, comb_sdf[..., 0], beta)
         imp2 = VR.importance_sample(combined1, cdf2, n_imp // 2, k_imp2 if jitter else None)
+        imp2 = jax.lax.optimization_barrier(imp2)
 
         imp, _ = S.combine(imp1, imp2, hp.min_dist_between_samples)
         final, _ = S.combine(uniform, imp, hp.min_dist_between_samples)

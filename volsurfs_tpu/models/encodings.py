@@ -20,6 +20,7 @@ Shared semantics kept exactly:
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Sequence
 
@@ -227,9 +228,10 @@ class HashGridEncoder(nn.Module):
     @nn.compact
     def __call__(self, points, iter_nr=None, with_grads=False):
         """points [..., 3] in the bb -> ([..., output_dim], out_of_bounds [...]),
-        or with_grads=True -> (feats, dfeats/dpoints [..., output_dim, 3], oob)
-        computed analytically from the same gathered corners (one
-        accumulation in the backward; see _hash_lookup_grad)."""
+        or with_grads=True -> (feats, dfeats/dpoints [3, ..., output_dim], oob)
+        — the jacobian is K-LEADING (spatial dim first, shared encoder
+        convention) and computed analytically from the same gathered corners
+        (one accumulation in the backward; see _hash_lookup_grad)."""
         assert points.shape[-1] == self.input_dim == 3
         L, F = self.nr_levels, self.nr_feat_per_level
         sizes, direct = self._level_sizes()
@@ -352,7 +354,16 @@ class HashGridEncoder(nn.Module):
 #              (run ends get +inclusive-cumsum, run starts get -exclusive);
 #              unique indices let XLA vectorize the scatter instead of
 #              serializing over duplicates.
-_TABLE_GRAD_MODE = "flat"
+#   "mxu"    — [hi, lane]-factorized one-hot segment-sum on the MXU
+#              (split-bf16 two-pass: f32-exact to ~4e-6 rel); see
+#              _segment_sum_hi_lane
+#   "mxu_bf16" — same with single-pass bf16 update values (~2x faster;
+#              per-update rel err ~2e-3 — below minibatch gradient noise;
+#              same family norm as tcnn's fp16 gradient atomics)
+# Default mxu_bf16 (surf step 348 -> 225 ms; convergence PSNR verified
+# unchanged on-chip, see RESULTS.md). Override with the
+# VOLSURFS_TABLE_GRAD_MODE env var or set_table_grad_mode().
+_TABLE_GRAD_MODE = os.environ.get("VOLSURFS_TABLE_GRAD_MODE", "mxu_bf16")
 
 
 def set_table_grad_mode(mode: str):
@@ -365,10 +376,86 @@ def set_table_grad_mode(mode: str):
     # zero = profiling ablation; cplx = F=2 features packed into one
     # complex64 update each (XLA's TPU scatter cost is per-update, so
     # packing halves it)
-    assert mode in ("flat", "sorted", "zero", "cplx"), mode
+    assert mode in ("flat", "sorted", "zero", "cplx", "mxu", "mxu_bf16"), mode
     if mode != _TABLE_GRAD_MODE:
         _TABLE_GRAD_MODE = mode
         jax.clear_caches()
+
+
+def _segment_sum_hi_lane(idx, upd_fs, nr_rows: int, single_pass: bool):
+    """Segment-sum per-level table updates on the MXU via the [hi, lane]
+    row factorization: row r lives at (hi = r // 128, lane = r % 128) of a
+    [ceil(T/128), 128] accumulator per feature.
+
+    Each update's value is routed to its lane by a compare-generated one-hot
+    V [chunk, 128*F] (cheap VPU work), then summed over hi with a one-hot
+    matmul [HI, chunk] @ [chunk, 128*F]. Per-update cost is T*F MACs on the
+    MXU — measured 89 TFLOP/s bf16 on v5e (scripts/bench_mxu_scatter.py) —
+    instead of a serialized scalar scatter (~28M row-upd/s ceiling in every
+    XLA formulation: plain, pre-sorted, and unique-index scatters all
+    measure the same). At the surf-step shape (196k updates/level, 2^18
+    rows) this measures 45.8M row-upd/s split / ~84M single-pass bf16.
+
+    The lane axis absorbs a 128x factor of the table for free, which is why
+    this one formulation replaces BOTH the old dense coarse-level matmul
+    (tiny HI -> near-free) and the fine-level scalar-flat scatters.
+
+    idx [M] absolute rows in [0, nr_rows); upd_fs: tuple of F arrays [M]
+    (separate per-feature 1-D arrays — stacking to [M, F] would materialize
+    a minor-2 tensor). Returns [nr_rows, F] f32.
+    """
+    M = idx.shape[0]
+    F = len(upd_fs)
+    dtype = upd_fs[0].dtype
+    LANEW = 128
+    HI = -(-nr_rows // LANEW)
+    chunk = 4096 if HI >= 1024 else 8192
+    chunk = min(chunk, _next_pow2(M))
+    pad = (-M) % chunk
+    if pad:
+        idx = jnp.concatenate([idx, jnp.zeros((pad,), idx.dtype)])
+        upd_fs = [jnp.concatenate([u, jnp.zeros((pad,), dtype)]) for u in upd_fs]
+        M = M + pad
+    nch = M // chunk
+    hi = (idx // LANEW).astype(jnp.int32).reshape(nch, chunk)
+    lane = (idx % LANEW).astype(jnp.int32).reshape(nch, chunk)
+    upd_c = tuple(u.astype(jnp.float32).reshape(nch, chunk) for u in upd_fs)
+    rows = jnp.arange(HI, dtype=jnp.int32)
+    lane_iota = jnp.arange(LANEW, dtype=jnp.int32)
+
+    def body(acc, xs):
+        h, l = xs[0], xs[1]
+        vs = xs[2:]
+        onehot = (rows[:, None] == h[None, :]).astype(jnp.bfloat16)  # [HI, chunk]
+        sel = l[:, None] == lane_iota[None, :]  # [chunk, LANEW]
+        V = jnp.concatenate(
+            [jnp.where(sel, v[:, None], 0.0) for v in vs], axis=1
+        )  # [chunk, LANEW*F]
+        if single_pass:
+            d = jax.lax.dot(
+                onehot, V.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            # split-bf16: V = vh + vl to ~2^-17 relative; each dot is exact
+            # bf16xbf16->f32 on the MXU. The barrier on vh is LOAD-BEARING:
+            # without it XLA folds the f32->bf16->f32 convert chain to the
+            # identity, so vl simplifies to V - V = 0 and the result
+            # silently degrades to single-pass bf16 (measured: bit-identical
+            # to single_pass=True; with the barrier, 2.3e-6 max rel err).
+            vh = jax.lax.optimization_barrier(V.astype(jnp.bfloat16))
+            vl = (V - vh.astype(jnp.float32)).astype(jnp.bfloat16)
+            d = jax.lax.dot(onehot, vh, preferred_element_type=jnp.float32)
+            d = d + jax.lax.dot(onehot, vl, preferred_element_type=jnp.float32)
+        return acc + d, None
+
+    acc, _ = jax.lax.scan(
+        body, jnp.zeros((HI, LANEW * F), jnp.float32), (hi, lane) + upd_c
+    )
+    out = jnp.stack(
+        [acc[:, f * LANEW:(f + 1) * LANEW].reshape(-1) for f in range(F)], -1
+    )
+    return out[:nr_rows].astype(dtype)
 
 
 def _segment_sum_matmul(idx, upd, nr_rows: int):
@@ -414,6 +501,18 @@ def _table_grad_accumulate(flat_idx, upd, layout, total_rows: int, dtype):
     F = upd.shape[-1]
     if _TABLE_GRAD_MODE == "zero":
         return jnp.zeros((total_rows, F), dtype) + 0.0 * upd.reshape(-1, F)[0]
+    if _TABLE_GRAD_MODE in ("mxu", "mxu_bf16") and len(layout) > 2:
+        sizes = layout[2]
+        single = _TABLE_GRAD_MODE == "mxu_bf16"
+        off = 0
+        parts = []
+        for lvl, rows in enumerate(sizes):
+            rows = int(rows)
+            idx_l = flat_idx[:, lvl].reshape(-1) - off
+            upd_l = tuple(upd[:, lvl, :, f].reshape(-1) for f in range(F))
+            parts.append(_segment_sum_hi_lane(idx_l, upd_l, rows, single))
+            off += rows
+        return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
     k, dense_rows = layout[0], layout[1]
     if k <= 0 or dense_rows <= 0:
         return _table_grad_scatter(
@@ -706,6 +805,29 @@ def _table_grad_accumulate_cm(meta, idx_cat, upd_fs, total_rows: int, dtype):
     if _TABLE_GRAD_MODE == "zero":
         return jnp.zeros((total_rows, F), dtype) + 0.0 * upd_fs[0][0, 0]
 
+    if _TABLE_GRAD_MODE in ("mxu", "mxu_bf16") and sizes is not None:
+        # one uniform MXU formulation for every level (coarse levels have
+        # tiny HI so their one-hot matmuls are near-free — this replaces
+        # both the dense prefix and the fine-level scatters)
+        single = _TABLE_GRAD_MODE == "mxu_bf16"
+
+        def take_l(lvl, x):
+            return jnp.concatenate(
+                [x[:, c * L + lvl : c * L + lvl + 1] for c in range(C)], axis=1
+            ).reshape(-1)
+
+        off = 0
+        parts = []
+        for lvl in range(L):
+            rows = int(sizes[lvl])
+            idx_l = take_l(lvl, idx_cat) - off
+            upd_l = tuple(take_l(lvl, u) for u in upd_fs)
+            parts.append(
+                _segment_sum_hi_lane(idx_l, upd_l, rows, single).astype(dtype)
+            )
+            off += rows
+        return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
     def take(cols_lo, cols_hi, x):
         return jnp.concatenate(
             [x[:, c * L + cols_lo : c * L + cols_hi] for c in range(C)], axis=1
@@ -920,7 +1042,6 @@ class PermutoEncoder(nn.Module):
         d = 3
         sizes = self._level_sizes()
         offsets, total_rows, nr_dense, dense_rows = _level_layout(sizes)
-        layout = (nr_dense, dense_rows, tuple(int(s) for s in sizes))
 
         table = self.param(
             "table",
