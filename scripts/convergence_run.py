@@ -54,6 +54,8 @@ trainer = Trainer(method, mv, args.out, log_every=100)
 t0 = time.time()
 state = trainer.train(method.init_state())
 train_time = time.time() - t0
+from volsurfs_tpu.training.checkpoints import save_checkpoint
+save_checkpoint(os.path.join(args.out, "checkpoints"), state)
 means = render_and_eval(trainer, state, "test", os.path.join(args.out, "eval"))
 result = {"iters": args.iters, "train_time_s": round(train_time, 1),
           "iters_per_sec": round(args.iters / train_time, 2), **{k: round(v, 3) for k, v in means.items()}}
