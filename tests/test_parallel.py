@@ -397,3 +397,64 @@ def test_render_rays_sharded_helper():
     np.testing.assert_allclose(
         out["rgb"], np.asarray(rays_o) * 2.0 + 1.0, rtol=1e-6
     )
+
+
+@pytest.mark.slow
+def test_data_parallel_nerf_step_matches_single_device(tmp_path_factory):
+    """nerf under data-parallel ray sharding: first-step loss matches the
+    single-device run to float noise, and the short trajectory stays in
+    band. Completes the per-method sharding coverage (surf/volsurfs/
+    offsets_surfs above; VERDICT r4 item 5: nerf had the weakest evidence
+    of the four methods). Reference: methods/nerf.py:245-546."""
+    from volsurfs_tpu.datasets.mvdataset import MVDataset
+    from volsurfs_tpu.methods.nerf import NeRF
+    from volsurfs_tpu.ops.raycast import make_bounding_sphere
+    from volsurfs_tpu.params.hyper_params import HyperParamsNeRF
+    from volsurfs_tpu.training.trainer import Trainer
+
+    def run(data_parallel: bool):
+        hp = HyperParamsNeRF(
+            is_nr_training_rays_dynamic=False,
+            training_rays_batch_size=64,
+            max_nr_samples_per_ray=16,
+            max_nr_imp_samples_per_ray=8,
+            do_importance_sampling=True,
+            training_end_iter=24,
+            nr_warmup_iters=5,
+            lr=5e-3,
+            lr_milestones=[10000],
+            sparsity_weight=1e-4,
+            geom_feat_size=16,
+            density_nr_iters_for_c2f=0,
+            density_encoding_type="gridhash",
+            rgb_pos_encoder_type="gridhash",
+            rgb_normal_dep=False,
+            nr_samples_bg=8,
+        )
+        mv = MVDataset(
+            "synthetic", "sphere", "",
+            config={"width": 32, "height": 32, "nr_train_cameras": 6,
+                    "nr_test_cameras": 2},
+        )
+        method = NeRF(
+            hp, make_bounding_sphere(1.0), bg_color="white",
+            occupancy_res=24, key=jax.random.PRNGKey(0),
+        )
+        run_dir = str(tmp_path_factory.mktemp(f"dpn_{int(data_parallel)}"))
+        trainer = Trainer(
+            method, mv, run_dir, log_every=100, seed=0,
+            update_occupancy_every=10,  # refreshes land mid-run
+            data_parallel=data_parallel,
+        )
+        losses = []
+        trainer.train(
+            method.init_state(),
+            callback=lambda it, st, ls: losses.append(float(ls["loss"])),
+        )
+        return np.asarray(losses)
+
+    single = run(False)
+    sharded = run(True)
+    assert single.shape == sharded.shape and np.isfinite(sharded).all()
+    np.testing.assert_allclose(sharded[0], single[0], rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(sharded, single, rtol=5e-2, atol=1e-3)

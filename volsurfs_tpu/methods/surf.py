@@ -651,7 +651,17 @@ class Surf:
 
             return self._get_jitted("render_sphere_traced", render_st)
 
-        def render(params, grid, rays_o, rays_d, iter_nr):
+        # XLA's pass pipeline on the fused sampler graph compiles
+        # super-linearly in the ray-chunk size (measured: ~1 min at 4096
+        # rays, >25 min at the reference config's 16384 test chunk, with
+        # every stage alone compiling in 1-20 s; stage-seam optimization
+        # barriers only soften it). Per-ray THROUGHPUT is flat in chunk
+        # size, so big chunks buy nothing — lax.map over <=4096-ray
+        # sub-chunks gives any requested chunk size the compile time of
+        # the 4096 graph at unchanged speed.
+        MAX_FUSED = 4096
+
+        def render_one(params, grid, rays_o, rays_d, iter_nr):
             res = self.render_rays(params, grid, rays_o, rays_d, iter_nr, None, False)
             return {
                 "rgb": res["rgb"],
@@ -659,5 +669,19 @@ class Surf:
                 "normals": res["normals"],
                 "weights_sum": res["weights_sum"],
             }
+
+        def render(params, grid, rays_o, rays_d, iter_nr):
+            R = rays_o.shape[0]
+            if R <= MAX_FUSED or R % MAX_FUSED != 0:
+                return render_one(params, grid, rays_o, rays_d, iter_nr)
+            n_sub = R // MAX_FUSED
+            out = jax.lax.map(
+                lambda od: render_one(params, grid, od[0], od[1], iter_nr),
+                (
+                    rays_o.reshape(n_sub, MAX_FUSED, 3),
+                    rays_d.reshape(n_sub, MAX_FUSED, 3),
+                ),
+            )
+            return {k: v.reshape(R, *v.shape[2:]) for k, v in out.items()}
 
         return self._get_jitted("render", render)
