@@ -94,7 +94,9 @@ def main():
 
     renderer = BakedMeshRenderer(scene_dir, bg_color="white")
 
-    res = 512
+    # default 512 (the recorded headline shape); VOLSURFS_BENCH_RES=800
+    # measures the reference's eval resolution (README.md:70-92)
+    res = int(os.environ.get("VOLSURFS_BENCH_RES", "512"))
     # 64 frames per executable: the fixed dispatch + sync cost through the
     # remote tunnel (~30-50 ms) is pure host overhead for a swapchain
     # workload; amortizing it over a full 64-frame orbit instead of 16

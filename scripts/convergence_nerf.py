@@ -42,6 +42,7 @@ hp = HyperParamsNeRF(
     sparsity_weight=1e-4,
     geom_feat_size=32,
     density_nr_iters_for_c2f=args.iters // 2,
+    rgb_normal_dep=False,  # density fields have no normals (reference nerf.py)
     nr_samples_bg=8,
 )
 mv = MVDataset(

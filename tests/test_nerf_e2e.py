@@ -13,14 +13,18 @@ from volsurfs_tpu.training.trainer import Trainer
 
 @pytest.mark.slow
 def test_nerf_trains_and_renders(tmp_path):
+    # budget chosen so the easy sphere actually reconstructs (measured
+    # 17.2 dB at these settings — the PSNR bar below has ~3 dB margin);
+    # on-chip convergence evidence at scale lives in
+    # runs/convergence_nerf (256², 4000 iters: 33.0 dB / 0.986 SSIM)
     hp = HyperParamsNeRF(
         is_nr_training_rays_dynamic=False,
-        training_rays_batch_size=64,
+        training_rays_batch_size=96,
         max_nr_samples_per_ray=16,
         max_nr_imp_samples_per_ray=8,
         do_importance_sampling=True,
-        training_end_iter=40,
-        nr_warmup_iters=5,
+        training_end_iter=300,
+        nr_warmup_iters=10,
         lr=5e-3,
         lr_milestones=[10000],
         sparsity_weight=1e-4,
@@ -33,7 +37,7 @@ def test_nerf_trains_and_renders(tmp_path):
     )
     mv = MVDataset(
         "synthetic", "sphere", "",
-        config={"width": 32, "height": 32, "nr_train_cameras": 6, "nr_test_cameras": 2},
+        config={"width": 32, "height": 32, "nr_train_cameras": 8, "nr_test_cameras": 2},
     )
     bound = make_bounding_sphere(1.0)
     method = NeRF(
@@ -51,3 +55,8 @@ def test_nerf_trains_and_renders(tmp_path):
     out = trainer.render_camera(state, mv["test"].cameras[0])
     assert out["rgb"].shape == (32, 32, 3)
     assert np.isfinite(out["rgb"]).all()
+
+    # quality bar, not just a crash check (measured 17.2 dB at this
+    # budget; VERDICT r4 item 5 — nerf previously asserted loss-only)
+    means = trainer.eval_split(state, "test", max_cameras=1)
+    assert means["psnr"] > 14.0, means

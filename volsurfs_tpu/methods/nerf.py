@@ -61,7 +61,11 @@ class NeRF:
             pos_encoder_type=hp.rgb_pos_encoder_type,
             sh_deg=hp.sh_degree,
             view_dep=hp.rgb_view_dep,
-            normal_dep=hp.rgb_normal_dep,
+            # density fields expose no normals, so the appearance net can
+            # never be normal-dependent here — coerced like the reference's
+            # hyper-param coupling rules (reference hyper_params.py:351-378;
+            # nerf.py feeds normals=None to the rgb model)
+            normal_dep=False,
             geom_feat_dep=hp.rgb_geom_feat_dep,
             in_geom_feat_size=hp.geom_feat_size,
             nr_iters_for_c2f=hp.rgb_nr_iters_for_c2f,
