@@ -58,7 +58,8 @@ class MVDataset:
                 if split not in splits:
                     continue
                 cams, rgbs, masks = synthetic.make_synthetic_split(
-                    n, w, h, cam_radius=2.0, sphere_radius=0.5, seed=seed
+                    n, w, h, cam_radius=2.0, sphere_radius=0.5, seed=seed,
+                    scene=scene_name,
                 )
                 self.splits[split] = Split(cams, rgbs, masks)
             self.bg_color = self.bg_color or "white"

@@ -52,6 +52,146 @@ def render_sphere_scene(camera: Camera, radius: float = 0.5):
     return rgb.reshape(H, W, 3), mask.reshape(H, W, 1)
 
 
+# ---- "hard" scene: thin features, a concavity, high-frequency albedo and
+# strong view-dependent shading. The multi-sphere-style smooth scene
+# saturates ~23.5 dB across all pipeline stages and cannot detect
+# per-stage quality loss (VERDICT r4 item 7); this one is built to expose
+# it: a 0.02-thick torus ring and three 0.016-thick fins stress mesh
+# extraction + simplification, the crater stresses occupancy/visibility,
+# sin-product albedo stresses texture resolution, and a Phong lobe
+# stresses the SH view dependence. Ground truth is rendered by marching
+# the exact CSG SDF with conservative steps + bisection to 1e-6 (offline
+# numpy — exactness matters, speed does not).
+
+
+def _hard_sdf(p):
+    """Exact-ish CSG SDF of the hard scene. p [N, 3] -> [N]."""
+    x, y, z = p[:, 0], p[:, 1], p[:, 2]
+    r = np.linalg.norm(p, axis=-1)
+    body = r - 0.35
+    crater = np.linalg.norm(p - np.asarray([0.20, 0.16, 0.12]), axis=-1) - 0.16
+    body = np.maximum(body, -crater)  # concavity
+
+    # thin torus ring in the xz plane
+    ring_r = np.sqrt(x * x + z * z) - 0.46
+    torus = np.sqrt(ring_r * ring_r + y * y) - 0.020
+
+    # three thin fins (rotated boxes, thin along z')
+    sdf = np.minimum(body, torus)
+    for ang in (0.3, 2.4, 4.5):
+        ca, sa = np.cos(ang), np.sin(ang)
+        xr = ca * x + sa * z
+        zr = -sa * x + ca * z
+        q = np.stack(
+            [np.abs(xr) - 0.52, np.abs(y) - 0.10, np.abs(zr) - 0.008], -1
+        )
+        box = np.linalg.norm(np.maximum(q, 0.0), axis=-1) + np.minimum(
+            np.max(q, axis=-1), 0.0
+        )
+        sdf = np.minimum(sdf, box)
+    return sdf
+
+
+def _hard_normal(p, eps=5e-5):
+    n = np.stack(
+        [
+            _hard_sdf(p + np.asarray([eps, 0, 0])) - _hard_sdf(p - np.asarray([eps, 0, 0])),
+            _hard_sdf(p + np.asarray([0, eps, 0])) - _hard_sdf(p - np.asarray([0, eps, 0])),
+            _hard_sdf(p + np.asarray([0, 0, eps])) - _hard_sdf(p - np.asarray([0, 0, eps])),
+        ],
+        -1,
+    )
+    return n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+
+
+def render_hard_scene(camera: Camera):
+    """Analytic render of the hard CSG scene (white bg).
+
+    Marching uses 0.6x conservative steps (CSG subtraction SDFs are only
+    distance bounds) with sign-crossing bisection, so GT geometry is exact
+    to ~1e-6 — far below pixel footprint at any tested resolution.
+    """
+    H, W = camera.height, camera.width
+    fx, fy = camera.intrinsics[0, 0], camera.intrinsics[1, 1]
+    cx, cy = camera.intrinsics[0, 2], camera.intrinsics[1, 2]
+    jj, ii = np.meshgrid(np.arange(W) + 0.5, np.arange(H) + 0.5, indexing="xy")
+    xpix = (jj - cx) / fx
+    ypix = (ii - cy) / fy
+    dirs_cam = np.stack([xpix, ypix, np.ones_like(xpix)], -1)
+    R = camera.pose[:3, :3]
+    dirs = (dirs_cam @ R.T).reshape(-1, 3)
+    dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+    o = np.broadcast_to(camera.pose[:3, 3], dirs.shape).astype(np.float64)
+
+    # enter at the bounding sphere r=0.85 (scene fits inside)
+    b = np.sum(o * dirs, -1)
+    c = np.sum(o * o, -1) - 0.85**2
+    disc = b * b - c
+    may_hit = disc > 0
+    t = np.where(may_hit, -b - np.sqrt(np.maximum(disc, 0.0)), np.inf)
+    t_exit = np.where(may_hit, -b + np.sqrt(np.maximum(disc, 0.0)), -np.inf)
+
+    t_cur = t.copy()
+    hit = np.zeros(t.shape, bool)
+    t_hit = np.zeros_like(t)
+    prev_t = t.copy()
+    prev_s = np.full_like(t, np.inf)
+    active = may_hit.copy()
+    for _ in range(400):
+        if not active.any():
+            break
+        p = o + t_cur[:, None] * dirs
+        s = _hard_sdf(p)
+        crossed = active & (s < 0) & np.isfinite(prev_s)
+        if crossed.any():
+            # bisection refine within [prev_t, t_cur]
+            lo, hi = prev_t[crossed], t_cur[crossed]
+            oc, dc = o[crossed], dirs[crossed]
+            for _ in range(40):
+                mid = 0.5 * (lo + hi)
+                sm = _hard_sdf(oc + mid[:, None] * dc)
+                neg = sm < 0
+                hi = np.where(neg, mid, hi)
+                lo = np.where(neg, lo, mid)
+            t_hit[crossed] = 0.5 * (lo + hi)
+            hit |= crossed
+            active &= ~crossed
+        step = np.maximum(0.6 * s, 1.5e-4)
+        prev_t = np.where(active, t_cur, prev_t)
+        prev_s = np.where(active, s, prev_s)
+        t_cur = t_cur + np.where(active, step, 0.0)
+        active &= t_cur <= t_exit
+
+    p = o + t_hit[:, None] * dirs
+    n = _hard_normal(p)
+
+    # high-frequency procedural albedo + lambert + view-dependent specular
+    stripes = 0.5 + 0.5 * np.sin(34.0 * p[:, 0]) * np.sin(
+        30.0 * p[:, 1] + 2.0 * np.sin(8.0 * p[:, 2])
+    )
+    checker = 0.5 + 0.5 * np.sign(
+        np.sin(22.0 * p[:, 0]) * np.sin(22.0 * p[:, 2])
+    )
+    albedo = np.stack(
+        [
+            0.15 + 0.75 * stripes,
+            0.25 + 0.55 * checker,
+            0.85 - 0.55 * stripes * checker,
+        ],
+        -1,
+    )
+    light = np.asarray([0.48, 0.6, 0.64])
+    light = light / np.linalg.norm(light)
+    lamb = np.maximum(np.sum(n * light, -1), 0.0)
+    v = -dirs
+    refl = 2.0 * np.sum(n * light, -1, keepdims=True) * n - light
+    spec = np.maximum(np.sum(refl * v, -1), 0.0) ** 32
+    rgb = albedo * (0.25 + 0.75 * lamb)[:, None] + 0.55 * spec[:, None]
+    rgb = np.clip(np.where(hit[:, None], rgb, 1.0), 0.0, 1.0).astype(np.float32)
+    mask = hit[:, None].astype(np.float32)
+    return rgb.reshape(H, W, 3), mask.reshape(H, W, 1)
+
+
 def make_synthetic_split(
     nr_cameras: int = 16,
     width: int = 64,
@@ -59,8 +199,9 @@ def make_synthetic_split(
     cam_radius: float = 2.0,
     sphere_radius: float = 0.5,
     seed: int = 0,
+    scene: str = "sphere",
 ):
-    """Cameras + analytic images of the sphere scene.
+    """Cameras + analytic images of a procedural scene ("sphere" or "hard").
 
     Returns (cameras list, rgbs [N, H, W, 3], masks [N, H, W, 1]).
     """
@@ -73,7 +214,10 @@ def make_synthetic_split(
     )
     rgbs, masks = [], []
     for cam in cams:
-        rgb, mask = render_sphere_scene(cam, sphere_radius)
+        if scene == "hard":
+            rgb, mask = render_hard_scene(cam)
+        else:
+            rgb, mask = render_sphere_scene(cam, sphere_radius)
         rgbs.append(rgb)
         masks.append(mask)
     return cams, np.stack(rgbs), np.stack(masks)
