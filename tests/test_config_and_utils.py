@@ -251,3 +251,43 @@ def test_view_3d_sdf_renders_level_set():
 
     row = view_3d_sdfs(sdfs, 2, nr_points_per_dim=16, width=32, height=32)
     assert row.shape == (32, 64, 3)
+
+
+def test_hard_scene_gt_renderer():
+    """The 'hard' procedural evidence scene (VERDICT r4 item 7): exact CSG
+    ray-marched GT with thin fins, a torus ring, a crater concavity and
+    view-dependent shading. Checks the analytic renderer produces plausible
+    geometry and that the high-frequency / view-dependence stressors are
+    actually present in the images (otherwise the scene cannot do its job
+    of exposing per-stage pipeline quality loss)."""
+    import numpy as np
+
+    from volsurfs_tpu.datasets.synthetic import (
+        _hard_sdf, make_synthetic_split, render_hard_scene,
+    )
+
+    # SDF sanity: center is inside the body, far point outside, a point on
+    # the torus ring's center circle is ~0.020 inside the tube
+    s = _hard_sdf(np.asarray([[0.0, 0.0, 0.0], [2.0, 0.0, 0.0], [0.46, 0.0, 0.0]]))
+    assert s[0] < 0 and s[1] > 0.5
+    assert abs(s[2] + 0.020) < 1e-6
+
+    cams, rgbs, masks = make_synthetic_split(3, 72, 72, seed=3, scene="hard")
+    assert rgbs.shape == (3, 72, 72, 3) and masks.shape == (3, 72, 72, 1)
+    fg = masks.mean()
+    assert 0.05 < fg < 0.5, f"implausible fg fraction {fg}"
+
+    # high-frequency albedo: neighboring fg texels must differ strongly
+    m = masks[0, :, :-1, 0] * masks[0, :, 1:, 0]
+    dx = np.abs(rgbs[0, :, 1:] - rgbs[0, :, :-1]).max(-1) * m
+    assert (dx > 0.25).sum() > 40, "albedo lacks high-frequency detail"
+
+    # view dependence: re-render view 0 with flipped ray directions is not
+    # testable cheaply, but distinct cameras must not produce near-identical
+    # fg statistics (specular lobe + albedo variation across the surface)
+    means = [rgbs[i][masks[i, :, :, 0] > 0].mean() for i in range(3)]
+    assert np.ptp(means) > 0.01
+
+    # mask edges are consistent with rgb: white bg exactly where mask==0
+    bg = rgbs[1][masks[1, :, :, 0] == 0]
+    assert np.allclose(bg, 1.0)

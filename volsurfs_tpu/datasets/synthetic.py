@@ -131,36 +131,39 @@ def render_hard_scene(camera: Camera):
     t = np.where(may_hit, -b - np.sqrt(np.maximum(disc, 0.0)), np.inf)
     t_exit = np.where(may_hit, -b + np.sqrt(np.maximum(disc, 0.0)), -np.inf)
 
-    t_cur = t.copy()
+    # march only the still-active subset each step (the fg fraction is ~0.16
+    # and most rays resolve in a few dozen steps; evaluating the CSG SDF over
+    # all H*W rays x 400 steps made GT generation ~25 s/frame at 256²)
     hit = np.zeros(t.shape, bool)
     t_hit = np.zeros_like(t)
-    prev_t = t.copy()
-    prev_s = np.full_like(t, np.inf)
-    active = may_hit.copy()
+    idx = np.nonzero(may_hit)[0]
+    t_cur = t[idx]
+    t_ex = t_exit[idx]
+    oa, da = o[idx], dirs[idx]
+    prev_t = t_cur.copy()
+    prev_s = np.full_like(t_cur, np.inf)
     for _ in range(400):
-        if not active.any():
+        if idx.size == 0:
             break
-        p = o + t_cur[:, None] * dirs
-        s = _hard_sdf(p)
-        crossed = active & (s < 0) & np.isfinite(prev_s)
+        s = _hard_sdf(oa + t_cur[:, None] * da)
+        crossed = (s < 0) & np.isfinite(prev_s)
         if crossed.any():
             # bisection refine within [prev_t, t_cur]
             lo, hi = prev_t[crossed], t_cur[crossed]
-            oc, dc = o[crossed], dirs[crossed]
+            oc, dc = oa[crossed], da[crossed]
             for _ in range(40):
                 mid = 0.5 * (lo + hi)
                 sm = _hard_sdf(oc + mid[:, None] * dc)
                 neg = sm < 0
                 hi = np.where(neg, mid, hi)
                 lo = np.where(neg, lo, mid)
-            t_hit[crossed] = 0.5 * (lo + hi)
-            hit |= crossed
-            active &= ~crossed
-        step = np.maximum(0.6 * s, 1.5e-4)
-        prev_t = np.where(active, t_cur, prev_t)
-        prev_s = np.where(active, s, prev_s)
-        t_cur = t_cur + np.where(active, step, 0.0)
-        active &= t_cur <= t_exit
+            t_hit[idx[crossed]] = 0.5 * (lo + hi)
+            hit[idx[crossed]] = True
+        t_next = t_cur + np.maximum(0.6 * s, 1.5e-4)
+        keep = ~crossed & (t_next <= t_ex)
+        idx, oa, da, t_ex = idx[keep], oa[keep], da[keep], t_ex[keep]
+        prev_t, prev_s = t_cur[keep], s[keep]
+        t_cur = t_next[keep]
 
     p = o + t_hit[:, None] * dirs
     n = _hard_normal(p)
