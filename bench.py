@@ -6,7 +6,8 @@ North-star metric (BASELINE.json): Mrays/sec/chip on the 5-mesh baked
 render — the reference paper's real-time path (k alpha-blended SH-textured
 meshes drawn by the WebGL viewer; reference
 volsurfs_py/renderers/mesh_renderer.py + viewer FPS HUD viewer.py:185-214).
-Workload: 512x512 orbit-camera frames through the tile-binned rasterizer
+Workload: 800x800 orbit-camera frames (the reference's eval resolution,
+reference README.md:70-92) through the tile-binned rasterizer
 (volsurfs_tpu/renderers/raster.py) with bilinear fp16 texture filtering and
 SH degree 3, texture pyramid [2048,1024,512,256]. Frames are enqueued
 back-to-back and synced once (frames stay on device like any real-time
@@ -94,9 +95,12 @@ def main():
 
     renderer = BakedMeshRenderer(scene_dir, bg_color="white")
 
-    # default 512 (the recorded headline shape); VOLSURFS_BENCH_RES=800
-    # measures the reference's eval resolution (README.md:70-92)
-    res = int(os.environ.get("VOLSURFS_BENCH_RES", "512"))
+    # default 800 — the reference's eval resolution (README.md:70-92); the
+    # earlier rounds' 512 headline shape stays reachable via
+    # VOLSURFS_BENCH_RES=512 (512: 10.38 Mrays/s, 800: 13.09 — per-ray
+    # throughput improves with resolution as the binning/select pre-passes
+    # amortize over 2.4x more rays, RESULTS.md round 5)
+    res = int(os.environ.get("VOLSURFS_BENCH_RES", "800"))
     # 64 frames per executable: the fixed dispatch + sync cost through the
     # remote tunnel (~30-50 ms) is pure host overhead for a swapchain
     # workload; amortizing it over a full 64-frame orbit instead of 16
